@@ -1,0 +1,280 @@
+"""ARZ (Aw–Rascle–Zhang) macroscopic traffic model, vectorized for TPU.
+
+State per cell is ``(r, y)``: density ``r`` ("cars per car length", so the
+jam density is 1) and relative flow ``y = r * (u - u_eq(r))``. The velocity
+closure is Greenshields-style, ``u_eq = u_max * (1 - (r + eps)^gamma)`` with
+``gamma = 0.5``.
+
+This module provides
+
+* the state algebra helpers (``compute_u``, ``compute_y``, ``compute_u_eq``,
+  ``compute_u_eq_prime``, ``compute_r_from_u_eq``),
+* a **branch-free, fully vectorized exact Riemann solver**
+  (:func:`riemann_solve`) covering all six analytic cases of the reference
+  solver — left/right vacuum, equal speeds, shock, rarefaction-with-middle,
+  and transonic/vacuum rarefaction — as a ``jnp.where`` cascade evaluated for
+  every interface at once,
+* the Godunov finite-volume update (:func:`godunov_step`) over a whole lane
+  (or a padded batch of lanes) in one shot, returning a CFL diagnostic
+  instead of asserting (asserts cannot abort inside ``jit``).
+
+Functional parity targets (reference = SonSang/diff-hybrid-traffic-sim):
+``model/macro/_arz.py:4-332`` (state algebra + scalar Riemann solver) and
+``road/lane/_macro_lane.py:83-146`` (per-interface solve + flux update + CFL
+check). Unlike the reference there is no hand-written backward pass: JAX
+reverse-mode AD differentiates this solver directly, with the same
+branch-aware semantics the reference hand-codes in ``model/macro/darz.py``
+(kept in :mod:`dhts.ops.darz` as a test oracle only).
+
+All functions broadcast: scalars, per-lane vectors ``[C]``, or padded batches
+``[L, C]`` work alike.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+GAMMA = 0.5
+EPSILON = 1e-5
+
+
+def _pow_gamma(x):
+    """``max(x, EPSILON) ** GAMMA`` with a gradient-safe base.
+
+    The clamp keeps ``d/dx sqrt(x)`` finite; every *selected* use in the
+    Riemann cascade has ``x >= EPSILON`` anyway (smaller densities route to
+    the vacuum cases), so values are unchanged where they matter.
+    """
+    return jnp.sqrt(jnp.maximum(x, EPSILON)) if GAMMA == 0.5 else jnp.power(
+        jnp.maximum(x, EPSILON), GAMMA)
+
+
+def _pow_inv_gamma(x):
+    """``max(x, 0) ** (1/GAMMA)``; for gamma=0.5 this is just ``x*x`` (safe)."""
+    return jnp.square(x) if GAMMA == 0.5 else jnp.power(jnp.maximum(x, 0.0),
+                                                        1.0 / GAMMA)
+
+
+def compute_u_eq(r, u_max):
+    """Equilibrium speed ``u_max * (1 - (max(r,0) + eps)^gamma)``.
+
+    Parity: reference ``model/macro/_arz.py:134-138``.
+    """
+    r = jnp.maximum(r, 0.0)
+    # (r + EPSILON) >= EPSILON, so the pow base is already safe.
+    return u_max * (1.0 - jnp.sqrt(r + EPSILON)
+                    if GAMMA == 0.5 else 1.0 - jnp.power(r + EPSILON, GAMMA))
+
+
+def compute_u_eq_prime(r, u_max):
+    """d(u_eq)/dr with the reference's ``max(r, eps)`` clamp.
+
+    Parity: reference ``model/macro/_arz.py:146-149``.
+    """
+    r = jnp.maximum(r, EPSILON)
+    return -u_max * GAMMA * jnp.power(r, GAMMA - 1.0)
+
+
+def compute_y(r, u, u_max):
+    """Relative flow ``y = r * (u - u_eq(r))`` (reference ``_arz.py:121-124``)."""
+    return r * (u - compute_u_eq(r, u_max))
+
+
+def compute_u(r, y, u_max):
+    """Speed ``u = y / max(r, eps) + u_eq(r)`` (reference ``_arz.py:126-131``)."""
+    r = jnp.maximum(r, EPSILON)
+    return y / r + compute_u_eq(r, u_max)
+
+
+def compute_r_from_u_eq(u_eq, u_max):
+    """Invert the closure: density whose equilibrium speed is ``u_eq``.
+
+    Parity: reference ``model/macro/_arz.py:140-144``.
+    """
+    u_max = jnp.maximum(u_max, EPSILON)
+    return _pow_inv_gamma(1.0 - u_eq / u_max)
+
+
+def lambda0(r, u, u_max):
+    """First characteristic speed ``u + r * u_eq'(r)`` (``_arz.py:103-104``)."""
+    return u + r * compute_u_eq_prime(r, u_max)
+
+
+class RiemannSolution(NamedTuple):
+    """Interface state and wave speeds of the ARZ Riemann problem.
+
+    ``case_ind`` records which analytic state was selected (0 = left state
+    Q_L, 1 = middle state Q_M, 2 = centered rarefaction Q_C), matching the
+    reference's ``ARZ.Riemann.case_ind`` (``_arz.py:201-210``); it is exposed
+    for tests and for the analytic-Jacobian oracle.
+    """
+
+    r0: jax.Array
+    y0: jax.Array
+    u0: jax.Array
+    speed0: jax.Array
+    speed1: jax.Array
+    case_ind: jax.Array
+
+    def flux_r(self):
+        return self.r0 * self.u0
+
+    def flux_y(self):
+        return self.y0 * self.u0
+
+
+def riemann_solve(r_l, y_l, u_l, r_r, u_r, u_max) -> RiemannSolution:
+    """Exact ARZ Riemann solver, vectorized and branch-free.
+
+    Given left state ``(r_l, y_l, u_l)`` (with ``u_l`` consistent with
+    ``compute_u(r_l, y_l)``) and right state ``(r_r, u_r)``, returns the
+    self-similar interface state at x/t = 0 and the two wave speeds, for
+    every element of the (broadcast) inputs at once.
+
+    The six cases and their priority order mirror the reference scalar solver
+    (``model/macro/_arz.py:212-332``):
+
+    ========  =====================================  =========================
+    priority  condition                              middle construction
+    ========  =====================================  =========================
+    vac_l     ``r_l < eps``                          Q_L (case 0)
+    vac_r     ``r_r < eps``                          vacuum middle; 0 or 2
+    equal     ``|u_l - u_r| < eps``                  Q_L (case 0)
+    shock     ``u_l > u_r``                          Q_M via Rankine–Hugoniot
+    rare      ``u_max + u_l - u_eq_l > u_r``         Q_M; 0 / 1 / 2 transonic
+    vac_m     otherwise                              vacuum middle; 0 or 2
+    ========  =====================================  =========================
+
+    All intermediate quantities are computed unconditionally on clamped-safe
+    inputs and then selected with ``jnp.where`` — no data-dependent control
+    flow, so XLA vectorizes the whole cascade onto the VPU and reverse-mode AD
+    yields branch-consistent gradients (the role of ``darz.py`` upstream).
+    """
+    u_eq_l = compute_u_eq(r_l, u_max)
+    lam0_l = lambda0(r_l, u_l, u_max)
+    r_l_pow = _pow_gamma(r_l)  # == r_l**gamma for r_l >= eps (else unused)
+
+    # --- middle state via Rankine-Hugoniot / rarefaction invariant
+    # (reference compute_Qm, _arz.py:184-199)
+    r_m = _pow_inv_gamma(r_l_pow + (u_l - u_r) / u_max)
+    u_m = u_r
+    lam0_m = lambda0(r_m, u_m, u_max)
+    flux_r_m = r_m * u_m
+
+    # --- vacuum middle state (cases 3 and 5, _arz.py:235,301)
+    u_vac = u_max + u_l - u_eq_l
+
+    # --- centered rarefaction state (reference compute_Qc, _arz.py:167-182)
+    r_c = _pow_inv_gamma((u_l + u_max * r_l_pow) / ((GAMMA + 1.0) * u_max))
+    u_c = (GAMMA / (GAMMA + 1.0)) * (u_l + u_max * r_l_pow)
+
+    # --- mutually exclusive case predicates, in reference priority order
+    vac_l = r_l < EPSILON
+    vac_r = (~vac_l) & (r_r < EPSILON)
+    taken = vac_l | vac_r
+    equal = (~taken) & (jnp.abs(u_l - u_r) < EPSILON)
+    taken |= equal
+    shock = (~taken) & (u_l > u_r)
+    taken |= shock
+    rare = (~taken) & (u_max + u_l - u_eq_l > u_r)
+    vac_m = ~(taken | rare)
+
+    # --- wave speeds per case
+    shock_speed = (flux_r_m - r_l * u_l) / jnp.maximum(r_m - r_l, EPSILON)
+    half_lam_m = (lam0_l + lam0_m) * 0.5
+    half_lam_vac = (lam0_l + u_vac) * 0.5
+
+    speed0 = jnp.where(
+        vac_l, 0.0,
+        jnp.where(
+            vac_r, half_lam_vac,
+            jnp.where(
+                equal, 0.0,
+                jnp.where(shock, shock_speed,
+                          jnp.where(rare, half_lam_m, half_lam_vac)))))
+    speed1 = jnp.where(vac_l, u_l, jnp.where(vac_r, half_lam_vac, u_r))
+
+    # --- case index (0 = Q_L, 1 = Q_M, 2 = Q_C), reference _arz.py:224-314
+    zero = jnp.zeros_like(jnp.asarray(speed0), dtype=jnp.int32)
+    case = jnp.where(
+        vac_l, 0,
+        jnp.where(
+            vac_r, jnp.where(lam0_l >= 0.0, 0, 2),
+            jnp.where(
+                equal, 0,
+                jnp.where(
+                    shock, jnp.where(shock_speed >= 0.0, 0, 1),
+                    jnp.where(
+                        rare,
+                        jnp.where(lam0_l >= 0.0, 0,
+                                  jnp.where(lam0_m <= 0.0, 1, 2)),
+                        jnp.where(lam0_l >= 0.0, 0, 2)))))) + zero
+
+    # --- select the interface state by case index
+    is_m = case == 1
+    is_c = case == 2
+    r0 = jnp.where(is_m, r_m, jnp.where(is_c, r_c, r_l))
+    u0 = jnp.where(is_m, u_m, jnp.where(is_c, u_c, u_l))
+    # Q_L keeps its raw stored y (reference compute_Ql uses set_r_y on the raw
+    # pair, _arz.py:155-165); Q_M / Q_C recompute y from (r, u).
+    y0 = jnp.where(is_m | is_c, compute_y(r0, u0, u_max), y_l)
+
+    return RiemannSolution(r0=r0, y0=y0, u0=u0, speed0=speed0, speed1=speed1,
+                           case_ind=case)
+
+
+class MacroStepResult(NamedTuple):
+    r: jax.Array
+    y: jax.Array
+    max_wave_speed: jax.Array  # CFL diagnostic: must stay < dx / dt
+
+
+def godunov_step(r, y, left_r, left_u, right_r, right_u, u_max, dt,
+                 cell_length) -> MacroStepResult:
+    """One Godunov finite-volume step of a macro lane (or batch of lanes).
+
+    ``r, y``: cell states with the **cell axis last** — shape ``[..., C]``.
+    ``left_*, right_*``: ghost-cell density/speed with shape ``[...]``
+    (broadcast against the leading axes), i.e. the reference's
+    leftmost/rightmost boundary cells (``_macro_lane.py:59-60``).
+
+    Solves the Riemann problem at all ``C + 1`` interfaces at once and applies
+    the flux-difference update ``q += dt/dx * (F_left - F_right)``
+    (reference ``road/lane/_macro_lane.py:83-114``). Instead of the
+    reference's per-interface CFL ``assert`` (``_macro_lane.py:139-146``) the
+    maximum absolute wave speed is returned; callers check
+    ``max_wave_speed * dt < cell_length`` outside jit (or via checkify).
+    """
+    left_r = jnp.asarray(left_r)[..., None]
+    left_u = jnp.asarray(left_u)[..., None]
+    right_r = jnp.asarray(right_r)[..., None]
+    right_u = jnp.asarray(right_u)[..., None]
+    left_y = compute_y(left_r, left_u, u_max)
+    right_y = compute_y(right_r, right_u, u_max)
+
+    u = compute_u(r, y, u_max)
+
+    # Left states of the C+1 interfaces: [ghost_L, cell_0, ..., cell_{C-1}];
+    # right states: [cell_0, ..., cell_{C-1}, ghost_R].
+    rl = jnp.concatenate([left_r, r], axis=-1)
+    yl = jnp.concatenate([left_y, y], axis=-1)
+    ul = jnp.concatenate([left_u, u], axis=-1)
+    rr = jnp.concatenate([r, right_r], axis=-1)
+    ur = jnp.concatenate([u, right_u], axis=-1)
+
+    sol = riemann_solve(rl, yl, ul, rr, ur, u_max)
+
+    fr = sol.flux_r()
+    fy = sol.flux_y()
+    coeff = dt / cell_length
+    coeff = jnp.asarray(coeff)[..., None] if jnp.ndim(coeff) else coeff
+    new_r = r + (fr[..., :-1] - fr[..., 1:]) * coeff
+    new_y = y + (fy[..., :-1] - fy[..., 1:]) * coeff
+
+    max_speed = jnp.maximum(jnp.abs(sol.speed0), jnp.abs(sol.speed1))
+    max_speed = jnp.max(max_speed, axis=-1)
+
+    return MacroStepResult(r=new_r, y=new_y, max_wave_speed=max_speed)

@@ -1,0 +1,181 @@
+"""Unit tests for the vectorized ARZ Riemann solver + Godunov update.
+
+Checks the branch-free TPU kernel against a scalar oracle over randomized
+states covering all six analytic cases (incl. both vacuums), verifies mass
+conservation off-boundary, CFL diagnostics, and gradient health
+(finite, NaN-free grads through all case branches).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhts.ops import arz
+
+from . import oracles
+
+jax.config.update("jax_enable_x64", False)
+
+
+def random_states(n, seed, u_max=30.0):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0.0, 1.0, n)
+    u = rng.uniform(0.0, u_max, n)
+    # sprinkle exact/near vacuums and equal-speed pairs
+    r[:: 7] = 0.0
+    r[1:: 11] = 5e-6
+    return r, u
+
+
+def test_state_algebra_matches_oracle():
+    r = np.array([0.0, 1e-6, 0.3, 0.9999, 1.0, 1.5])
+    y = np.array([0.0, 0.5, -2.0, 3.0, 0.0, -1.0])
+    u_max = 30.0
+    got_ueq = np.asarray(arz.compute_u_eq(r, u_max))
+    got_u = np.asarray(arz.compute_u(r, y, u_max))
+    got_y = np.asarray(arz.compute_y(r, got_u, u_max))
+    for i in range(len(r)):
+        # abs tolerance ~ float32 eps * u_max (cancellation near r = 1)
+        assert got_ueq[i] == pytest.approx(oracles.u_eq(r[i], u_max), rel=1e-5,
+                                           abs=3e-5)
+        assert got_u[i] == pytest.approx(oracles.u_of(r[i], y[i], u_max),
+                                         rel=1e-5, abs=1e-4)
+        assert got_y[i] == pytest.approx(
+            oracles.y_of(r[i], got_u[i], u_max), rel=1e-5, abs=1e-4)
+
+
+def test_riemann_matches_oracle_all_cases():
+    u_max = 30.0
+    n = 1024
+    r_l, u_l = random_states(n, 0, u_max)
+    r_r, u_r = random_states(n, 1, u_max)
+    y_l = np.array([oracles.y_of(a, b, u_max) for a, b in zip(r_l, u_l)])
+    y_r = np.array([oracles.y_of(a, b, u_max) for a, b in zip(r_r, u_r)])
+    # force exact equal-speed pairs into the mix
+    u_r[::13] = u_l[::13]
+    y_r[::13] = np.array(
+        [oracles.y_of(a, b, u_max) for a, b in zip(r_r[::13], u_r[::13])])
+
+    ul = np.array([oracles.u_of(a, b, u_max) for a, b in zip(r_l, y_l)])
+    ur = np.array([oracles.u_of(a, b, u_max) for a, b in zip(r_r, y_r)])
+    sol = jax.jit(arz.riemann_solve, static_argnums=5)(
+        jnp.asarray(r_l, jnp.float32), jnp.asarray(y_l, jnp.float32),
+        jnp.asarray(ul, jnp.float32), jnp.asarray(r_r, jnp.float32),
+        jnp.asarray(ur, jnp.float32), u_max)
+    got = jax.tree.map(np.asarray, sol)
+
+    cases_seen = set()
+    for i in range(n):
+        ref = oracles.riemann(float(r_l[i]), float(y_l[i]), float(r_r[i]),
+                              float(y_r[i]), u_max)
+        cases_seen.add(ref["case"])
+        # Skip knife-edge inputs where float32 vs float64 flips the branch.
+        margin = min(abs(ul[i] - ur[i]) - oracles.EPS,
+                     abs(r_l[i] - oracles.EPS), abs(r_r[i] - oracles.EPS))
+        if abs(margin) < 1e-4:
+            continue
+        assert got.case_ind[i] == ref["case"], i
+        assert got.r0[i] == pytest.approx(ref["r0"], rel=2e-4, abs=2e-4), i
+        assert got.u0[i] == pytest.approx(ref["u0"], rel=2e-4, abs=2e-3), i
+        assert got.y0[i] == pytest.approx(ref["y0"], rel=2e-3, abs=5e-3), i
+        assert got.speed0[i] == pytest.approx(ref["speed0"], rel=2e-3,
+                                              abs=5e-3), i
+        assert got.speed1[i] == pytest.approx(ref["speed1"], rel=2e-3,
+                                              abs=5e-3), i
+    assert cases_seen == {0, 1, 2}
+
+
+def test_godunov_step_matches_oracle():
+    u_max, dt, dx = 30.0, 0.01, 5.0
+    rng = np.random.default_rng(2)
+    C = 10
+    r = rng.uniform(0.05, 0.95, C)
+    u = rng.uniform(1.0, 25.0, C)
+    y = np.array([oracles.y_of(a, b, u_max) for a, b in zip(r, u)])
+    bl = (0.4, 10.0)
+    br = (0.2, 20.0)
+
+    res = arz.godunov_step(
+        jnp.asarray(r, jnp.float32), jnp.asarray(y, jnp.float32), bl[0], bl[1],
+        br[0], br[1], u_max, dt, dx)
+    ref_r, ref_y = oracles.godunov_lane_step(list(r), list(y), bl, br, u_max,
+                                             dt, dx)
+    np.testing.assert_allclose(np.asarray(res.r), ref_r, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.y), ref_y, rtol=1e-3, atol=1e-3)
+    assert float(res.max_wave_speed) * dt < dx
+
+
+def test_mass_conservation_closed_lane():
+    """With zero-flux boundaries (vacuum ghosts, zero speeds) total mass is
+    conserved by the flux-difference form up to the boundary fluxes."""
+    u_max, dt, dx = 30.0, 0.01, 5.0
+    rng = np.random.default_rng(3)
+    C = 32
+    r = jnp.asarray(rng.uniform(0.1, 0.9, C), jnp.float32)
+    u = jnp.asarray(rng.uniform(1.0, 20.0, C), jnp.float32)
+    y = arz.compute_y(r, u, u_max)
+
+    res = arz.godunov_step(r, y, 0.3, 15.0, 0.3, 15.0, u_max, dt, dx)
+    # Interior telescoping: mass change equals boundary flux difference.
+    sol_l = arz.riemann_solve(
+        jnp.float32(0.3), arz.compute_y(0.3, 15.0, u_max), jnp.float32(15.0),
+        r[0], arz.compute_u(r[0], y[0], u_max), u_max)
+    sol_r = arz.riemann_solve(
+        r[-1], y[-1], arz.compute_u(r[-1], y[-1], u_max), jnp.float32(0.3),
+        jnp.float32(15.0), u_max)
+    lhs = float(jnp.sum(res.r) - jnp.sum(r))
+    rhs = float((sol_l.flux_r() - sol_r.flux_r()) * dt / dx)
+    assert lhs == pytest.approx(rhs, rel=1e-4, abs=1e-5)
+
+
+def test_riemann_gradients_finite_everywhere():
+    u_max = 30.0
+    n = 512
+    r_l, u_l = random_states(n, 4, u_max)
+    r_r, u_r = random_states(n, 5, u_max)
+
+    def loss(rl, ul, rr, ur):
+        yl = arz.compute_y(rl, ul, u_max)
+        sol = arz.riemann_solve(rl, yl, ul, rr, ur, u_max)
+        return jnp.sum(sol.flux_r()) + jnp.sum(sol.flux_y()) + jnp.sum(
+            sol.speed0)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+        jnp.asarray(r_l, jnp.float32), jnp.asarray(u_l, jnp.float32),
+        jnp.asarray(r_r, jnp.float32), jnp.asarray(u_r, jnp.float32))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_godunov_gradient_matches_finite_difference():
+    u_max, dt, dx = 30.0, 0.01, 5.0
+    rng = np.random.default_rng(6)
+    C = 10
+    r0 = jnp.asarray(rng.uniform(0.2, 0.8, C), jnp.float32)
+    u0 = jnp.asarray(rng.uniform(5.0, 20.0, C), jnp.float32)
+
+    @jax.jit
+    def rollout(r, u):
+        y = arz.compute_y(r, u, u_max)
+
+        def body(carry, _):
+            r, y = carry
+            res = arz.godunov_step(r, y, 0.4, 10.0, 0.2, 20.0, u_max, dt, dx)
+            return (res.r, res.y), None
+
+        (rT, yT), _ = jax.lax.scan(body, (r, y), None, length=50)
+        return jnp.sum(rT**2) + jnp.sum(arz.compute_u(rT, yT, u_max)**2) * 1e-3
+
+    g_r, g_u = jax.jit(jax.grad(rollout, argnums=(0, 1)))(r0, u0)
+    # central finite differences on a few coordinates
+    for idx in [0, 3, 7]:
+        eps = 1e-3
+        rp = r0.at[idx].add(eps)
+        rm = r0.at[idx].add(-eps)
+        fd = (rollout(rp, u0) - rollout(rm, u0)) / (2 * eps)
+        assert float(g_r[idx]) == pytest.approx(float(fd), rel=0.05, abs=1e-3)
+        up = u0.at[idx].add(eps)
+        um = u0.at[idx].add(-eps)
+        fd = (rollout(r0, up) - rollout(r0, um)) / (2 * eps)
+        assert float(g_u[idx]) == pytest.approx(float(fd), rel=0.05, abs=1e-3)
