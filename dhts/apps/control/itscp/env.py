@@ -1,0 +1,425 @@
+"""ITSCP environment: a differentiable signal-controlled grid simulation.
+
+Rebuild of the reference's ``ItscpEnv`` + ``ItscpRoadNetwork``
+(``example/control/itscp/_env.py:95-962``, ``_simulator.py:20-281``) as one
+jitted episode rollout:
+
+* the per-phase **action** (one float per intersection per signal phase) is
+  the green split between the WE and NS arms within the phase: an arm's gate
+  is a (soft) comparison of the action value against the phase progress
+  (reference ``lane_signal_info``, ``_env.py:885-962``);
+* **macro lanes** see signal-blended ghost cells — green = upstream state or
+  schedule inflow at equilibrium speed, red = a stopped wall downstream /
+  vacuum upstream (reference ``_simulator.py:56-137``);
+* **micro lanes** stochastically inject vehicles from pre-drawn waiting
+  pools at open boundaries and blend green (route leader) vs red (stop at
+  lane end) virtual-leader deltas, attributing the governing signal by the
+  head vehicle's soft position among prev/current/next lanes with an
+  RMS-adaptively sharpened sigmoid (reference ``_simulator.py:139-276``);
+* the **reward** is the negative squared soft queue length, where "queued"
+  is an RMS-adaptive soft test of speed below ``static_speed`` (reference
+  ``_env.py:586-756``).
+
+The running-mean statistics that tune sigmoid sharpness are carried through
+the scan as detached ``(sum, count)`` states; they are updated once per step
+with the batch of that step's observations (the reference updates them one
+sample at a time inside its Python loops — same statistic, different
+interleaving; both are fresh per episode because the reference deep-copies
+the env per episode, ``trainer.py:172``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dhts.apps.control.itscp import problem as problem_mod
+from dhts.apps.control.itscp import scene as grid_scene
+from dhts.models import network
+from dhts.models.scene import SceneSpec
+from dhts.ops import arz
+from dhts.ops.dmath import soft_sigmoid
+from dhts.utils import rms
+
+# reference example/control/itscp/_env_config.py:1-85
+DEFAULT_CONFIG = dict(
+    num_intersection=1,
+    num_lane=3,
+    lane_length=20.0,
+    speed_limit=60.0,
+    cell_length=5.0,
+    vehicle_length=5.0,
+    simulation_frequency=30,
+    policy_length=10,  # seconds one action vector persists
+    signal_length=2,  # seconds per signal phase
+    action_min=0.1,
+    action_max=0.9,
+    duration=1,  # actions per episode
+    static_speed=0.2,  # queue threshold (m/s)
+    num_schedule_obs=10,
+    max_num_micro_vehicle_per_lane=10,
+    mode="macro",  # macro | micro | hybrid
+    random_seed=0,
+)
+
+
+class EpisodeData(NamedTuple):
+    """Per-episode device arrays (drawn at reset, constant during rollout)."""
+
+    schedule: jax.Array  # f32[T, L] inflow density
+    mroute_next: jax.Array  # i32[T, L] per-step MacroRoute
+    mroute_prev: jax.Array  # i32[T, L]
+    inj_routes: jax.Array  # i32[L, P, R] waiting-pool routes
+
+
+class LaneMeta(NamedTuple):
+    """Static signal metadata per lane."""
+
+    approaching: jax.Array  # bool[L] non-mid approaching arms
+    is_we: jax.Array  # bool[L]
+    inter: jax.Array  # i32[L] intersection index
+    has_prev: jax.Array  # bool[L]
+
+
+class EpisodeResult(NamedTuple):
+    reward: jax.Array
+    queue_per_step: jax.Array  # f32[T] summed squared queue * dt
+    emitted: jax.Array
+    absorbed: jax.Array
+    injected: jax.Array
+    max_wave_speed: jax.Array
+
+
+def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
+                 differentiable: bool):
+    """Per-lane stored signal (the reference's ``signal_info[1]``,
+    ``_env.py:647``): approaching arms gate on the action-vs-progress
+    comparison; mid connectors and leaving arms are always open."""
+    phase = jnp.minimum(t // num_signal_frame, n_phases - 1)
+    a = action2d[phase][meta.inter]  # [L]
+    progress = jnp.minimum(
+        (t % num_signal_frame).astype(jnp.float32) / num_signal_frame, 1.0)
+    if differentiable:
+        gate_we = soft_sigmoid(a - progress, 32.0)
+        gate_ns = soft_sigmoid(progress - a, 32.0)
+    else:
+        gate_we = (a > progress).astype(jnp.float32)
+        gate_ns = (progress > a).astype(jnp.float32)
+    gate = jnp.where(meta.is_we, gate_we, gate_ns)
+    return jnp.where(meta.approaching, gate, 1.0)
+
+
+def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
+                     differentiable: bool):
+    """Build the jitted episode rollout for one scene/config."""
+    T = (config["policy_length"] * config["duration"] *
+         config["simulation_frequency"])
+    nsf = config["simulation_frequency"] * config["signal_length"]
+    n_phases = max(1, (config["policy_length"] * config["duration"]) //
+                   config["signal_length"])
+    n_inter = config["num_intersection"] ** 2
+    dt = 1.0 / config["simulation_frequency"]
+    static_speed = config["static_speed"]
+    veh_len = config["vehicle_length"]
+    diff = differentiable
+    L = spec.num_lanes
+
+    def boundary_and_step(state, t, action2d, sched_t, rand_t, inj_routes,
+                          inj_left, is_static_ms, signal_ms):
+        mic = state.micro
+        V = mic.position.shape[1]
+        ar = jnp.arange(L)
+        lane_sig = lane_signals(meta, action2d, t, nsf, n_phases, diff)
+        incoming = jnp.where(meta.has_prev, -1.0, sched_t)
+
+        # ---- micro injection (before leader search; _simulator.py:153-174)
+        free = jnp.where(mic.count > 0,
+                         mic.position[:, 0] - 0.5 * mic.params.length[:, 0],
+                         spec.length)
+        inject = (~meta.has_prev & ~spec.is_macro & (free > 0.5 * veh_len) &
+                  (rand_t < incoming) & (inj_left > 0) & (mic.count < V))
+        P = inj_routes.shape[1]
+        pool_idx = jnp.clip(P - inj_left, 0, P - 1)
+        new_route = inj_routes[ar, pool_idx]
+        rank = jnp.cumsum(inject.astype(jnp.int32)) - 1
+        new_vid = jnp.where(inject, state.veh_counter + rank, -1)
+        from dhts.models.vehicle import default_params
+        dflt = default_params(spec.speed_limit, (L,))
+
+        def tail_insert(x, newval):
+            shifted = jnp.concatenate([newval[:, None, ...], x[:, :-1, ...]],
+                                      axis=1)
+            m = inject.reshape((L,) + (1,) * (x.ndim - 1))
+            return jnp.where(m, shifted, x)
+
+        mic = mic._replace(
+            position=tail_insert(mic.position, jnp.zeros(L)),
+            speed=tail_insert(mic.speed, jnp.zeros(L)),
+            params=jax.tree.map(tail_insert, mic.params, dflt),
+            route=tail_insert(mic.route, new_route),
+            route_idx=tail_insert(mic.route_idx, jnp.zeros(L, jnp.int32)),
+            vid=tail_insert(mic.vid, new_vid),
+            count=mic.count + inject.astype(jnp.int32))
+        n_inj = jnp.sum(inject.astype(jnp.int32))
+        state = state._replace(
+            micro=mic, veh_counter=state.veh_counter + n_inj)
+        inj_left = inj_left - inject.astype(jnp.int32)
+
+        # ---- macro boundary: signal-blended ghost cells -------------------
+        # (reference _simulator.py:56-137)
+        gl_r, gl_u = network.get_macro_boundary(spec, state, left=True)
+        gl_r = jnp.where(meta.has_prev, gl_r, incoming)
+        gl_u = jnp.where(meta.has_prev, gl_u,
+                         arz.compute_u_eq(incoming, spec.speed_limit))
+        mp = state.macro_prev
+        prev_sig = jnp.where(
+            ~meta.has_prev, 1.0,
+            jnp.where(mp < 0, 0.0, lane_sig[jnp.clip(mp, 0, L - 1)]))
+        bl_r = gl_r * prev_sig  # red upstream ghost: r=0
+        bl_u = gl_u * prev_sig + spec.speed_limit * (1.0 - prev_sig)
+
+        gr_r, gr_u = network.get_macro_boundary(spec, state, left=False)
+        if diff:
+            s = soft_sigmoid(lane_sig - 0.5, 32.0)
+        else:
+            s = (lane_sig > 0.5).astype(jnp.float32)
+        br_r = gr_r * s + 1.0 * (1.0 - s)  # red downstream ghost: jam wall
+        br_u = gr_u * s  # red: u=0
+
+        # ---- micro boundary: green leader vs red stop-at-end --------------
+        # (reference _simulator.py:176-276)
+        pd_g, sd_g = network.find_micro_leader(spec, state)
+        head = network.micro_head_info(spec, state)
+        red_pd = jnp.maximum(
+            spec.length - head["position"] - head["length"] * 0.5, 0.0)
+
+        R = state.micro.route.shape[2]
+        ridx = head["route_idx"]
+        prev_l = jnp.where(
+            ridx > 0, head["route"][ar, jnp.clip(ridx - 1, 0, R - 1)], -1)
+        next_l = jnp.where(
+            ridx + 1 < R, head["route"][ar, jnp.clip(ridx + 1, 0, R - 1)], -1)
+        curr_l = head["route"][ar, jnp.clip(ridx, 0, R - 1)]
+        prev_exist = prev_l >= 0
+        next_exist = next_l >= 0
+        hp = head["position"]
+        if diff:
+            p_score = jnp.where(prev_exist, soft_sigmoid(-hp, 16.0), 0.0)
+            c_score = (soft_sigmoid(hp, 16.0) *
+                       soft_sigmoid(spec.length - hp, 16.0))
+            n_score = jnp.where(next_exist,
+                                soft_sigmoid(hp - spec.length, 16.0), 0.0)
+        else:
+            p_score = jnp.zeros(L)
+            c_score = jnp.ones(L)
+            n_score = jnp.zeros(L)
+        ssum = p_score + c_score + n_score
+        p_score, c_score, n_score = (x / ssum for x in (p_score, c_score,
+                                                        n_score))
+        fsig = c_score * lane_sig[jnp.clip(curr_l, 0, L - 1)]
+        fsig += jnp.where(prev_exist,
+                          p_score * lane_sig[jnp.clip(prev_l, 0, L - 1)], 0.0)
+        fsig += jnp.where(next_exist,
+                          n_score * lane_sig[jnp.clip(next_l, 0, L - 1)], 0.0)
+
+        blend_mask = head["exists"] & ~spec.is_macro
+        if diff:
+            signal_ms = rms.update_mean_masked(signal_ms, fsig, blend_mask)
+            const = 32.0 / jnp.maximum(
+                jnp.abs(rms.mean_of(signal_ms, 1.0)), 1e-6)
+            fs = soft_sigmoid(fsig - 0.5, const)
+            pd = pd_g * fs + red_pd * (1.0 - fs)
+            sd = sd_g * fs  # red speed delta is 0
+        else:
+            green = fsig >= 0.5
+            pd = jnp.where(green, pd_g, red_pd)
+            sd = jnp.where(green, sd_g, 0.0)
+        pd = jnp.where(blend_mask, pd, pd_g)
+        sd = jnp.where(blend_mask, sd, sd_g)
+
+        bv = network.BoundaryValues(left_r=bl_r, left_u=bl_u, right_r=br_r,
+                                    right_u=br_u, head_position_delta=pd,
+                                    head_speed_delta=sd)
+
+        # ---- lane forward + conversion ------------------------------------
+        state, max_wave, _ = network.lanes_forward(spec, state, bv, dt)
+        from dhts.models import conversion
+        state, emitted, absorbed = conversion.apply(spec, state, dt)
+
+        # ---- queue-length reward ------------------------------------------
+        # (reference _env.py:662-742: soft static-speed test, RMS-sharpened)
+        u_cells = network.macro_cell_u(spec, state.macro)
+        cell_m = spec.cell_mask & spec.is_macro[:, None]
+        veh_m = state.micro.active & ~spec.is_macro[:, None]
+        is_static_ms = rms.update_mean_masked(
+            is_static_ms, static_speed - u_cells, cell_m)
+        is_static_ms = rms.update_mean_masked(
+            is_static_ms, static_speed - state.micro.speed, veh_m)
+        if diff:
+            const = 16.0 / jnp.maximum(
+                jnp.abs(rms.mean_of(is_static_ms, 1.0)), 1e-6)
+            stat_c = soft_sigmoid(static_speed - u_cells, const)
+            stat_v = soft_sigmoid(static_speed - state.micro.speed, const)
+        else:
+            stat_c = (u_cells < static_speed).astype(jnp.float32)
+            stat_v = (state.micro.speed < static_speed).astype(jnp.float32)
+        n_veh_per_cell = (state.macro.r * spec.cell_length[:, None] / veh_len)
+        q_macro = jnp.sum(stat_c * n_veh_per_cell * cell_m, axis=1)
+        q_micro = jnp.sum(stat_v * veh_m, axis=1)
+        q_lane = jnp.where(spec.is_macro, q_macro, q_micro)
+        queue = jnp.sum(q_lane ** 2) * dt
+
+        return (state, inj_left, is_static_ms, signal_ms, queue, n_inj,
+                emitted, absorbed, jnp.max(max_wave))
+
+    def episode(action_flat, data: EpisodeData, state0, key):
+        """Full rollout; ``action_flat`` is the [n_phases * n_inter] action
+        vector (reference action layout, ``_env.py:899-903``)."""
+        action2d = action_flat.reshape(n_phases, n_inter)
+        rand = jax.random.uniform(key, (T, L))
+        P = data.inj_routes.shape[1]
+        inj_left0 = jnp.where(~meta.has_prev & ~spec.is_macro, P, 0)
+
+        def body(carry, inputs):
+            state, inj_left, ms_stat, ms_sig = carry
+            t, sched_t, nxt_t, prv_t, rand_t = inputs
+            state = state._replace(macro_next=nxt_t, macro_prev=prv_t)
+            (state, inj_left, ms_stat, ms_sig, queue, n_inj, emitted,
+             absorbed, max_wave) = boundary_and_step(
+                 state, t, action2d, sched_t, rand_t, data.inj_routes,
+                 inj_left, ms_stat, ms_sig)
+            return ((state, inj_left, ms_stat, ms_sig),
+                    (queue, n_inj, emitted, absorbed, max_wave))
+
+        init = (state0, inj_left0.astype(jnp.int32), rms.init_mean_state(),
+                rms.init_mean_state())
+        body = jax.checkpoint(body)
+        (_, _, _, _), (queues, n_inj, emitted, absorbed, max_wave) = \
+            jax.lax.scan(body, init,
+                         (jnp.arange(T), data.schedule, data.mroute_next,
+                          data.mroute_prev, rand))
+        reward = -jnp.sum(queues)  # reward_queue_c = -1 (_env.py:181)
+        return EpisodeResult(reward=reward, queue_per_step=queues,
+                             emitted=jnp.sum(emitted),
+                             absorbed=jnp.sum(absorbed),
+                             injected=jnp.sum(n_inj),
+                             max_wave_speed=jnp.max(max_wave))
+
+    return episode
+
+
+class ItscpEnv:
+    """Host-side environment wrapper: config, reset, observe, episode."""
+
+    def __init__(self, config=None, schedule_fn=None):
+        self.config = dict(DEFAULT_CONFIG)
+        if config:
+            self.config.update(config)
+        self.schedule_fn = schedule_fn or problem_mod.random_schedule
+        self.grid: grid_scene.GridScene | None = None
+        self._episode_soft = None
+        self._episode_hard = None
+
+    # -- sizes ------------------------------------------------------------
+
+    @property
+    def num_timestep(self):
+        c = self.config
+        return (c["policy_length"] * c["duration"] *
+                c["simulation_frequency"])
+
+    def action_size(self):
+        c = self.config
+        n_phases = (c["policy_length"] * c["duration"]) // c["signal_length"]
+        return n_phases * c["num_intersection"] ** 2
+
+    def observation_size(self):
+        return self.config["num_schedule_obs"] * len(self.grid.keys)
+
+    def action_bounds(self):
+        c = self.config
+        return c["action_min"], c["action_max"]
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def reset(self, seed: int | None = None):
+        c = self.config
+        seed = c["random_seed"] if seed is None else seed
+        rng = np.random.default_rng(seed if seed > 0 else None)
+        rebuild = self.grid is None
+        if rebuild:
+            self.grid = grid_scene.build_grid(
+                c["num_intersection"], c["num_lane"], c["lane_length"],
+                c["speed_limit"], c["cell_length"], c["mode"],
+                max_vehicles_per_lane=max(
+                    16, c["max_num_micro_vehicle_per_lane"] + 6))
+            self.spec, self.base_state = self.grid.builder.build(rng)
+            self.meta = LaneMeta(
+                approaching=jnp.asarray(self.grid.approaching),
+                is_we=jnp.asarray(self.grid.is_we),
+                inter=jnp.asarray(self.grid.intersection),
+                has_prev=jnp.asarray(
+                    np.asarray(self.spec.num_prev) > 0))
+
+        T = self.num_timestep
+        locs = [k.loc for k in self.grid.keys]
+        self.schedule = self.schedule_fn(locs, T, rng)
+
+        # per-timestep random MacroRoute (reference _make_macro_route,
+        # _env.py:194-200)
+        nxts, prvs = [], []
+        for _ in range(T):
+            n, p = self.grid.builder.random_macro_route(rng)
+            nxts.append(n)
+            prvs.append(p)
+        self.mroute_next = np.asarray(nxts, np.int32)
+        self.mroute_prev = np.asarray(prvs, np.int32)
+
+        # waiting pools (reference _make_micro_route, _env.py:202-219):
+        # default vehicles with random routes, P per lane
+        P = c["max_num_micro_vehicle_per_lane"]
+        L = len(self.grid.keys)
+        R = self.grid.builder.R
+        inj = np.full((L, P, R), -1, np.int32)
+        for l in range(L):
+            for p in range(P):
+                rt = self.grid.builder.random_route(l, rng)
+                inj[l, p, : len(rt)] = rt
+
+        self.data = EpisodeData(schedule=jnp.asarray(self.schedule),
+                                mroute_next=jnp.asarray(self.mroute_next),
+                                mroute_prev=jnp.asarray(self.mroute_prev),
+                                inj_routes=jnp.asarray(inj))
+
+        if rebuild or self._episode_soft is None:
+            self._episode_soft = jax.jit(
+                _make_episode_fn(self.spec, self.meta, c, True))
+            self._episode_hard = jax.jit(
+                _make_episode_fn(self.spec, self.meta, c, False))
+        return self.observe()
+
+    def observe(self) -> np.ndarray:
+        """Windowed schedule averages for open-boundary lanes, zeros
+        elsewhere (reference ``observe``, ``_env.py:519-558``)."""
+        k = self.config["num_schedule_obs"]
+        T = self.schedule.shape[0]
+        has_prev = np.asarray(self.spec.num_prev) > 0
+        obs = []
+        win = T // k
+        for li in range(self.schedule.shape[1]):
+            if has_prev[li]:
+                obs.extend([0.0] * k)
+            else:
+                for j in range(k):
+                    t0, t1 = j * win, min(j * win + win, T)
+                    obs.append(float(self.schedule[t0:t1, li].mean()))
+        return np.asarray(obs, np.float32)
+
+    def episode(self, action, differentiable: bool, key) -> EpisodeResult:
+        """Simulate the full horizon under ``action``; the differentiable
+        variant is the training path (reference ``env.step(action, True)``)."""
+        fn = self._episode_soft if differentiable else self._episode_hard
+        return fn(jnp.asarray(action), self.data, self.base_state, key)

@@ -1,0 +1,61 @@
+"""ITSCP training entry point.
+
+Parity target: reference ``example/control/itscp/run.py:10-71`` and the
+shell presets ``run_itscp_{macro,micro,hybrid}.sh``. Defaults mirror the
+reference CLI; e.g. the hybrid preset is
+``--mode hybrid --n_intersection 3 --n_lane 1 --lane_length 5
+--simulation_length 20 --signal_length 4 --lr 1e-4``.
+
+Run: ``python -m dhts.apps.control.itscp.run --mode macro --problem 1 ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from dhts.apps.control.itscp.env import ItscpEnv
+from dhts.apps.control.itscp.problem import PROBLEMS
+from dhts.apps.control.trainer import Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("Intersection signal control (ITSCP)")
+    p.add_argument("--mode", choices=["macro", "micro", "hybrid"],
+                   default="macro")
+    p.add_argument("--problem", type=int, choices=[0, 1, 2, 3], default=1,
+                   help="0 = random schedule; 1-3 = sessioned NS/WE problems")
+    p.add_argument("--n_trial", type=int, default=5)
+    p.add_argument("--n_intersection", type=int, default=1)
+    p.add_argument("--n_lane", type=int, default=3)
+    p.add_argument("--lane_length", type=float, default=20.0)
+    p.add_argument("--speed_limit", type=float, default=60.0)
+    p.add_argument("--simulation_length", type=int, default=10,
+                   help="policy length in seconds")
+    p.add_argument("--signal_length", type=int, default=2)
+    p.add_argument("--n_episode", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_root", type=str, default="result/control/itscp")
+    args = p.parse_args(argv)
+
+    env = ItscpEnv(config=dict(
+        num_intersection=args.n_intersection, num_lane=args.n_lane,
+        lane_length=args.lane_length, speed_limit=args.speed_limit,
+        policy_length=args.simulation_length,
+        signal_length=args.signal_length, mode=args.mode,
+        random_seed=args.seed), schedule_fn=PROBLEMS[args.problem])
+
+    run_name = os.path.join(args.log_root,
+                            f"{args.mode}_{int(time.time())}")
+    for trial in range(args.n_trial):
+        env.reset(seed=args.seed + trial if args.seed > 0 else None)
+        trainer = Trainer(env, lr=args.lr, seed=args.seed + trial)
+        log_path = os.path.join(run_name, f"trial_{trial}")
+        trainer.train(1, args.n_episode + 1,
+                      max(1, args.n_episode // 10), 1, log_path)
+
+
+if __name__ == "__main__":
+    main()

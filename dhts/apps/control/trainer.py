@@ -1,0 +1,148 @@
+"""Backprop-through-simulation trainer for the ITSCP controller.
+
+Parity target: reference ``example/control/trainer.py:13-227``: per epoch,
+run ``num_episode_per_epoch`` differentiable episodes, minimize the negative
+mean episode reward with Adam, evaluate every ``num_eval_epoch`` epochs in
+hard (non-differentiable) mode, append ``eval.txt``, and checkpoint the
+latest and best controller+optimizer state.
+
+TPU redesign: the controller forward, the action squash, the full simulated
+episode, the loss, and the Adam update are ONE jitted ``train_step`` — no
+per-step Python, no env deep copies (the env is a pure function; episode
+randomness comes from a split PRNG key, which is what the reference's fresh
+``deepcopy`` + fresh np.random draws amount to).
+
+Checkpoints are msgpack files written with ``flax.serialization`` (the
+reference uses ``torch.save`` zips). Metrics go to ``metrics.jsonl`` always
+and to TensorBoard if torch is importable (the reference logs ``loss/train``
+and ``loss/eval`` scalars).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from dhts.apps.control.controller import Controller, squash_action
+
+
+class Trainer:
+
+    def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0):
+        self.env = env
+        obs = env.observe()
+        self.obs = jnp.asarray(obs)
+        self.low, self.high = env.action_bounds()
+        self.model = Controller(output_size=env.action_size(),
+                                network_size=tuple(network_size))
+        self.params = self.model.init(jax.random.PRNGKey(seed), self.obs)
+        self.opt = optax.adam(lr)
+        self.opt_state = self.opt.init(self.params)
+        self.key = jax.random.PRNGKey(seed + 1)
+        self.best_eval_reward = -float("inf")
+
+        def loss_fn(params, key):
+            raw = self.model.apply(params, self.obs)
+            action = squash_action(raw, self.low, self.high)
+            res = env.episode(action, True, key)
+            return -res.reward
+
+        def train_step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._train_step = jax.jit(train_step)
+
+        def eval_episode(params, key):
+            raw = self.model.apply(params, self.obs)
+            action = squash_action(raw, self.low, self.high)
+            return env.episode(action, False, key)
+
+        self._eval_episode = jax.jit(eval_episode)
+
+    # -- training loop ------------------------------------------------------
+
+    def train(self, num_episode_per_epoch: int, num_epoch: int,
+              num_eval_epoch: int, num_eval_episode: int, log_path: str,
+              verbose: bool = True):
+        os.makedirs(log_path, exist_ok=True)
+        metrics_path = os.path.join(log_path, "metrics.jsonl")
+        tb = _maybe_tensorboard(log_path)
+        self.best_eval_reward = -float("inf")
+        history = []
+
+        for epoch in range(num_epoch):
+            if epoch % max(1, num_eval_epoch) == 0:
+                self.evaluate(epoch, num_eval_episode, log_path, tb, verbose)
+
+            losses = []
+            for _ in range(max(1, num_episode_per_epoch)):
+                self.key, k = jax.random.split(self.key)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, k)
+                losses.append(float(loss))
+            loss = float(np.mean(losses))
+            history.append(loss)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "loss_train": loss,
+                                    "t": time.time()}) + "\n")
+            if tb:
+                tb.add_scalar("loss/train", loss, epoch)
+            if verbose:
+                print(f"epoch {epoch}: loss {loss:.6f}")
+            self.save(os.path.join(log_path, "model.msgpack"))
+        if tb:
+            tb.close()
+        return history
+
+    def evaluate(self, epoch, num_episode, log_path, tb=None, verbose=True):
+        total = 0.0
+        for _ in range(max(1, num_episode)):
+            self.key, k = jax.random.split(self.key)
+            res = self._eval_episode(self.params, k)
+            total += float(res.reward)
+        avg = total / max(1, num_episode)
+        with open(os.path.join(log_path, "eval.txt"), "a") as f:
+            f.write(f"{-avg:08f}\n")
+        if tb:
+            tb.add_scalar("loss/eval", -avg, epoch)
+        if verbose:
+            print(f"  eval @ epoch {epoch}: reward {avg:.4f}")
+        if avg > self.best_eval_reward:
+            self.best_eval_reward = avg
+            os.makedirs(os.path.join(log_path, "best"), exist_ok=True)
+            self.save(os.path.join(log_path, "best", "model.msgpack"))
+        return avg
+
+    # -- checkpointing --------------------------------------------------------
+
+    def save(self, path: str):
+        blob = serialization.to_bytes({"params": self.params,
+                                       "opt_state": self.opt_state})
+        with open(path, "wb") as f:
+            f.write(blob)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            blob = f.read()
+        target = {"params": self.params, "opt_state": self.opt_state}
+        restored = serialization.from_bytes(target, blob)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+
+
+def _maybe_tensorboard(log_path):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_path)
+    except Exception:
+        return None

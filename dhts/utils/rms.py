@@ -58,6 +58,14 @@ def update_mean_state(state: MeanState, data) -> MeanState:
                      count=state.count + data.size)
 
 
+def update_mean_masked(state: MeanState, data, mask) -> MeanState:
+    """Accumulate only ``mask``-selected entries of ``data``, detached."""
+    data = jax.lax.stop_gradient(jnp.asarray(data, jnp.float32))
+    m = mask.astype(jnp.float32)
+    return MeanState(total=state.total + jnp.sum(data * m),
+                     count=state.count + jnp.sum(m))
+
+
 def mean_of(state: MeanState, default=1.0):
     return jnp.where(state.count > 0, state.total / jnp.maximum(
         state.count, 1.0), default)

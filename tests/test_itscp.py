@@ -1,0 +1,113 @@
+"""ITSCP environment + training tests (small instances).
+
+Checks: grid construction invariants, signal gating actually modulates the
+flow, episode rewards are finite in both soft and hard modes, gradients of
+the reward w.r.t. the action are nonzero, and a few training epochs reduce
+the loss on a 1-intersection scene.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhts.apps.control.itscp import scene as gscene
+from dhts.apps.control.itscp.env import ItscpEnv
+from dhts.apps.control.itscp.problem import problem_1
+from dhts.apps.control.trainer import Trainer
+
+SMALL = dict(num_intersection=1, num_lane=1, lane_length=20.0,
+             speed_limit=20.0, cell_length=5.0, policy_length=10,
+             signal_length=2, simulation_frequency=10, random_seed=3,
+             max_num_micro_vehicle_per_lane=4)
+
+
+def test_grid_construction_1x1():
+    g = gscene.build_grid(1, 3, 20.0, 60.0, 5.0, "macro")
+    # 4 corners x 2 dirs x 3 lanes = 24 arms + 3 straight + 1 right per
+    # approach arm group: 4 arms x (3 straight + 1 right) = 16 connectors
+    assert len(g.keys) == 24 + 16
+    assert g.approaching.sum() == 12
+    assert g.is_mid.sum() == 16
+    # every approach arm connects into >= 1 connector, every connector into
+    # exactly one leaving arm
+    b = g.builder
+    for i, k in enumerate(g.keys):
+        if k.approaching and k.loc != "mid":
+            assert len(b._next[i]) >= 1
+        if k.loc == "mid":
+            assert len(b._next[i]) == 1 and len(b._prev[i]) == 1
+
+
+def test_grid_hybrid_3x3_border_macro():
+    g = gscene.build_grid(3, 1, 5.0, 60.0, 5.0, "hybrid")
+    spec = g.builder.build_spec()
+    is_macro = np.asarray(spec.is_macro)
+    for i, k in enumerate(g.keys):
+        border = k.row in (0, 2) or k.col in (0, 2)
+        assert is_macro[i] == border
+    # stitching: interior intersection's north approach is fed by the
+    # intersection above
+    kid = g.key_to_id[gscene.LaneKey(1, 1, "north", None, True, 0)]
+    assert len(g.builder._prev[kid]) == 1
+
+
+def test_episode_runs_and_signal_matters():
+    env = ItscpEnv(config=dict(SMALL, mode="macro"), schedule_fn=problem_1)
+    env.reset()
+    key = jax.random.PRNGKey(0)
+    n = env.action_size()
+    res_lo = env.episode(jnp.full(n, 0.1), False, key)
+    res_hi = env.episode(jnp.full(n, 0.9), False, key)
+    for r in (res_lo, res_hi):
+        assert np.isfinite(float(r.reward))
+        assert float(r.reward) <= 0.0
+    # an all-WE vs all-NS split must change the outcome on an NS-heavy
+    # problem-1 schedule
+    assert float(res_lo.reward) != float(res_hi.reward)
+
+
+@pytest.mark.parametrize("mode", ["micro", "hybrid"])
+def test_episode_micro_and_hybrid(mode):
+    cfg = dict(SMALL, mode=mode)
+    if mode == "hybrid":
+        cfg.update(num_intersection=2, lane_length=10.0)
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    key = jax.random.PRNGKey(1)
+    action = jnp.full(env.action_size(), 0.5)
+    hard = env.episode(action, False, key)
+    soft = env.episode(action, True, key)
+    assert np.isfinite(float(hard.reward))
+    assert np.isfinite(float(soft.reward))
+    if mode == "micro":
+        assert int(hard.injected) > 0, "no vehicles ever injected"
+
+
+def test_action_gradient_nonzero():
+    env = ItscpEnv(config=dict(SMALL, mode="macro"), schedule_fn=problem_1)
+    env.reset()
+    key = jax.random.PRNGKey(2)
+
+    def loss(a):
+        return -env.episode(a, True, key).reward
+
+    g = jax.grad(loss)(jnp.full(env.action_size(), 0.5))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_training_reduces_loss(tmp_path):
+    env = ItscpEnv(config=dict(SMALL, mode="macro"), schedule_fn=problem_1)
+    env.reset()
+    trainer = Trainer(env, network_size=(32, 32), lr=3e-3, seed=0)
+    hist = trainer.train(1, 12, 6, 1, str(tmp_path / "run"), verbose=False)
+    assert np.isfinite(hist).all()
+    assert min(hist[-4:]) <= hist[0] + 1e-6, (hist[0], hist[-4:])
+    # checkpoints + logs exist, and reload round-trips
+    assert (tmp_path / "run" / "model.msgpack").exists()
+    assert (tmp_path / "run" / "eval.txt").exists()
+    before = jax.tree.leaves(trainer.params)[0].copy()
+    trainer.load(str(tmp_path / "run" / "model.msgpack"))
+    after = jax.tree.leaves(trainer.params)[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))
