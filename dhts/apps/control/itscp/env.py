@@ -113,7 +113,7 @@ def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
 
 
 def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
-                     differentiable: bool):
+                     differentiable: bool, record: bool = False):
     """Build the jitted episode rollout for one scene/config."""
     T = (config["policy_length"] * config["duration"] *
          config["simulation_frequency"])
@@ -273,7 +273,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         queue = jnp.sum(q_lane ** 2) * dt
 
         return (state, inj_left, is_static_ms, signal_ms, queue, n_inj,
-                emitted, absorbed, jnp.max(max_wave))
+                emitted, absorbed, jnp.max(max_wave), lane_sig)
 
     def episode(action_flat, data: EpisodeData, state0, key):
         """Full rollout; ``action_flat`` is the [n_phases * n_inter] action
@@ -288,25 +288,28 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
             t, sched_t, nxt_t, prv_t, rand_t = inputs
             state = state._replace(macro_next=nxt_t, macro_prev=prv_t)
             (state, inj_left, ms_stat, ms_sig, queue, n_inj, emitted,
-             absorbed, max_wave) = boundary_and_step(
+             absorbed, max_wave, lane_sig) = boundary_and_step(
                  state, t, action2d, sched_t, rand_t, data.inj_routes,
                  inj_left, ms_stat, ms_sig)
+            rec = ((state.macro.r, state.micro.position, state.micro.count,
+                    lane_sig) if record else None)
             return ((state, inj_left, ms_stat, ms_sig),
-                    (queue, n_inj, emitted, absorbed, max_wave))
+                    (queue, n_inj, emitted, absorbed, max_wave, rec))
 
         init = (state0, inj_left0.astype(jnp.int32), rms.init_mean_state(),
                 rms.init_mean_state())
         body = jax.checkpoint(body)
-        (_, _, _, _), (queues, n_inj, emitted, absorbed, max_wave) = \
+        (_, _, _, _), (queues, n_inj, emitted, absorbed, max_wave, rec) = \
             jax.lax.scan(body, init,
                          (jnp.arange(T), data.schedule, data.mroute_next,
                           data.mroute_prev, rand))
         reward = -jnp.sum(queues)  # reward_queue_c = -1 (_env.py:181)
-        return EpisodeResult(reward=reward, queue_per_step=queues,
-                             emitted=jnp.sum(emitted),
-                             absorbed=jnp.sum(absorbed),
-                             injected=jnp.sum(n_inj),
-                             max_wave_speed=jnp.max(max_wave))
+        result = EpisodeResult(reward=reward, queue_per_step=queues,
+                               emitted=jnp.sum(emitted),
+                               absorbed=jnp.sum(absorbed),
+                               injected=jnp.sum(n_inj),
+                               max_wave_speed=jnp.max(max_wave))
+        return (result, rec) if record else result
 
     return episode
 
@@ -423,3 +426,26 @@ class ItscpEnv:
         variant is the training path (reference ``env.step(action, True)``)."""
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
+
+    def replay(self, action, key, every: int = 5):
+        """Run a hard-mode episode recording state, and rasterize frames
+        every ``every`` steps (the reference's eval-time frame dumps,
+        ``trainer.py:113-125`` / ``_env.py:744-756``). Returns
+        ``(EpisodeResult, frames)`` with frames as uint8 HxWx3 arrays."""
+        from dhts.apps.control.itscp import render
+
+        if getattr(self, "_episode_rec", None) is None:
+            self._episode_rec = jax.jit(
+                _make_episode_fn(self.spec, self.meta, self.config, False,
+                                 record=True))
+        result, rec = self._episode_rec(jnp.asarray(action), self.data,
+                                        self.base_state, key)
+        rs, poss, counts, sigs = (np.asarray(x) for x in rec)
+        active = np.arange(poss.shape[2])[None, None, :] < counts[:, :, None]
+        raster = render.Raster(self.grid.segments)
+        frames = [
+            render.render_frame(self.grid, self.spec, rs[t], poss[t],
+                                active[t], sigs[t], raster)
+            for t in range(0, rs.shape[0], max(1, every))
+        ]
+        return result, frames

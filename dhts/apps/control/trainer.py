@@ -35,8 +35,10 @@ from dhts.apps.control.controller import Controller, squash_action
 
 class Trainer:
 
-    def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0):
+    def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
+                 render_eval=False):
         self.env = env
+        self.render_eval = render_eval
         obs = env.observe()
         self.obs = jnp.asarray(obs)
         self.low, self.high = env.action_bounds()
@@ -111,6 +113,16 @@ class Trainer:
             res = self._eval_episode(self.params, k)
             total += float(res.reward)
         avg = total / max(1, num_episode)
+        if self.render_eval and hasattr(self.env, "replay"):
+            from dhts.apps.control.itscp.render import save_gif
+            from dhts.apps.control.controller import squash_action
+
+            raw = self.model.apply(self.params, self.obs)
+            action = squash_action(raw, self.low, self.high)
+            _, frames = self.env.replay(action, self.key)
+            rdir = os.path.join(log_path, "eval_render")
+            os.makedirs(rdir, exist_ok=True)
+            save_gif(frames, os.path.join(rdir, f"epoch_{epoch}.gif"))
         with open(os.path.join(log_path, "eval.txt"), "a") as f:
             f.write(f"{-avg:08f}\n")
         if tb:

@@ -1,0 +1,12 @@
+"""Pallas TPU kernels for the simulation hot paths.
+
+XLA already fuses the elementwise physics well *within* a step; what it does
+not do is fuse *across* the time axis — a ``lax.scan`` rollout executes one
+small launch per step, and for this workload (tens of cells x a scenario
+batch) per-step overhead dominates. The kernels here run the whole rollout
+inside a single Pallas program with the state resident in VMEM.
+"""
+
+from dhts.ops.pallas.macro_rollout import make_fused_macro_rollout
+
+__all__ = ["make_fused_macro_rollout"]
