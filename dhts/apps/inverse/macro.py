@@ -24,11 +24,16 @@ from dhts.models import lane
 class MacroInverseProblem(InverseProblem):
 
     def __init__(self, num_trial, num_timestep, num_episode, delta_time,
-                 speed_limit, run_name, num_cell, cell_length, **kw):
+                 speed_limit, run_name, num_cell, cell_length,
+                 use_pallas: bool = False, **kw):
         super().__init__(num_trial, num_timestep, num_episode, delta_time,
                          speed_limit, run_name, **kw)
         self.num_cell = num_cell
         self.cell_length = cell_length
+        # time-fused Pallas rollout kernel (TPU fast path): the whole T-step
+        # rollout + its backward run as single kernels instead of a scan
+        self.use_pallas = use_pallas
+        self._fused_cache = {}
 
     def build_scene(self, rng):
         # random boundary ghost cells (reference macro.py:48-49)
@@ -47,13 +52,64 @@ class MacroInverseProblem(InverseProblem):
         return (jnp.asarray(np.clip(r, 0, 1), jnp.float32),
                 jnp.asarray(np.clip(u, 0, self.speed_limit), jnp.float32))
 
+    def _fused(self, batch):
+        if batch not in self._fused_cache:
+            from dhts.ops.pallas import make_fused_macro_rollout
+            self._fused_cache[batch] = make_fused_macro_rollout(
+                self.speed_limit, self.delta_time, self.cell_length,
+                self.num_timestep, self.num_cell, batch)
+        return self._fused_cache[batch]
+
     def end_state_of(self, est, differentiable):
+        from dhts.ops import arz
+
+        if self.use_pallas:
+            r0 = est[0][None, :]
+            y0 = arz.compute_y(r0, est[1][None, :], self.speed_limit)
+            rT, yT, _ = self._fused(1)(r0, y0, self.bdry_r[0],
+                                       self.bdry_u[0], self.bdry_r[1],
+                                       self.bdry_u[1])
+            return rT[0], arz.compute_u(rT[0], yT[0], self.speed_limit)
         res = lane.macro_rollout(est[0], est[1], self.bdry_r[0],
                                  self.bdry_u[0], self.bdry_r[1],
                                  self.bdry_u[1], self.speed_limit,
                                  self.delta_time, self.cell_length,
                                  self.num_timestep)
         return res.r, res.u
+
+    def _build_losses(self):
+        super()._build_losses()
+        if not self.use_pallas:
+            return
+        # population evaluation through the fused kernel: the batch axis is
+        # the kernel's native lane dimension, not a vmap over pallas_call
+        from dhts.ops import arz
+
+        def batch_fn(vs):
+            B = vs.shape[0]
+            n = self.num_cell
+            r0 = vs[:, :n]
+            u0 = vs[:, n:]
+            y0 = arz.compute_y(r0, u0, self.speed_limit)
+            rT, yT, _ = self._fused(B)(r0, y0, self.bdry_r[0],
+                                       self.bdry_u[0], self.bdry_r[1],
+                                       self.bdry_u[1])
+            uT = arz.compute_u(rT, yT, self.speed_limit)
+            tr, tu = self.target_end
+            return (jnp.sum((rT - tr) ** 2, axis=1) +
+                    jnp.sum((uT - tu) ** 2, axis=1))
+
+        cache = {}
+
+        def end_error_batch(vs):
+            vs = jnp.asarray(vs, jnp.float32)
+            B = vs.shape[0]
+            if B not in cache:
+                cache[B] = jax.jit(batch_fn)
+            return cache[B](vs)
+
+        import jax
+        self._end_error_batch = end_error_batch
 
     def bounds(self):
         n = self.num_cell

@@ -105,7 +105,11 @@ class InverseProblem:
             jax.lax.stop_gradient,
             jax.jit(lambda s: self.end_state_of(s, False))(self.true_state))
 
-        # compile the two losses once per trial
+        self._build_losses()
+
+    def _build_losses(self):
+        """Compile the per-trial loss functions (override to swap kernels)."""
+
         def end_error(est, differentiable):
             return self.state_error(self.target_end,
                                     self.end_state_of(est, differentiable))
@@ -126,30 +130,39 @@ class InverseProblem:
     # -- solvers ----------------------------------------------------------
 
     def solve_gd(self, est0, progress: Callable | None = None):
-        """Adam on simulator gradients; box-projected after each step."""
+        """Adam on simulator gradients; box-projected after each step.
+
+        TPU-first: the ENTIRE optimization — ``num_episode`` x (rollout,
+        backward, Adam update, box projection) — is one ``lax.scan`` inside
+        one jitted device program, vs the reference's per-episode Python
+        loop re-taping 500 graph steps (``_inverse.py:185-242``).
+        """
         assert optax is not None, "optax required for solve_gd"
         opt = optax.adam(self.gd_lr)
         est = jax.tree.map(jnp.asarray, est0)
-        opt_state = opt.init(est)
         lb, ub = self.bounds()
-        beg_errors, end_errors = [], []
+        true_state = self.true_state
 
         @jax.jit
-        def step(est, opt_state):
-            val, grads = self._end_error_grad(est)
-            updates, opt_state = opt.update(grads, opt_state)
-            est = optax.apply_updates(est, updates)
-            est = jax.tree.map(jnp.clip, est, lb, ub)
-            return val, est, opt_state
+        def run(est):
+            def episode(carry, _):
+                est, opt_state = carry
+                beg = self.state_error(true_state, est)
+                val, grads = self._end_error_grad(est)
+                updates, opt_state = opt.update(grads, opt_state)
+                est = optax.apply_updates(est, updates)
+                est = jax.tree.map(jnp.clip, est, lb, ub)
+                return (est, opt_state), (beg, val)
 
-        for ep in range(self.num_episode):
-            val, new_est, opt_state = step(est, opt_state)
-            beg_errors.append(self.beg_error(est))
-            end_errors.append(float(val))
-            est = new_est
-            if progress:
-                progress("GD", ep, end_errors[-1])
-        return beg_errors, end_errors
+            (est, _), (begs, ends) = jax.lax.scan(
+                episode, (est, opt.init(est)), None,
+                length=self.num_episode)
+            return est, begs, ends
+
+        est, begs, ends = run(est)
+        if progress:
+            progress("GD", self.num_episode - 1, float(ends[-1]))
+        return np.asarray(begs).tolist(), np.asarray(ends).tolist()
 
     def solve_cma(self, est0, progress: Callable | None = None):
         """CMA-ES with vmapped population evaluation on device."""

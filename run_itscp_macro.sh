@@ -1,0 +1,7 @@
+#!/bin/bash
+# ITSCP macro preset (parity with the reference's run_itscp_macro.sh)
+for p in 1 2 3; do
+  python -m dhts.apps.control.itscp.run --mode=macro --problem=$p --n_trial=1 \
+    --n_intersection=1 --n_lane=3 --lane_length=30 --speed_limit=60 \
+    --simulation_length=10 --signal_length=2 --n_episode=100 --lr=1e-4
+done
