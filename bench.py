@@ -53,11 +53,14 @@ def main():
                    signal_length=2, simulation_frequency=10, random_seed=3,
                    mode="hybrid", max_num_micro_vehicle_per_lane=4)
     else:
-        # the reference's hybrid preset: run_itscp_hybrid.sh
+        # the reference's hybrid preset: run_itscp_hybrid.sh. The state is
+        # tiny, so storing per-step residuals (remat=False) beats
+        # recomputation, and unrolling amortizes loop overhead.
         cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
                    speed_limit=60.0, cell_length=5.0, policy_length=20,
                    signal_length=4, simulation_frequency=30, random_seed=3,
-                   mode="hybrid", max_num_micro_vehicle_per_lane=10)
+                   mode="hybrid", max_num_micro_vehicle_per_lane=10,
+                   remat=False, unroll=4)
 
     env = ItscpEnv(config=cfg, schedule_fn=problem_1)
     env.reset()
