@@ -28,13 +28,15 @@ class MicroInverseProblem(InverseProblem):
 
     def __init__(self, num_trial, num_timestep, num_episode, delta_time,
                  speed_limit, run_name, num_vehicle, vehicle_length,
-                 gd_lr=1e-2, **kw):
+                 gd_lr=1e-2, use_pallas: bool = False, **kw):
         super().__init__(num_trial, num_timestep, num_episode, delta_time,
                          speed_limit, run_name, gd_lr=gd_lr, **kw)
         self.num_vehicle = num_vehicle
         self.vehicle_length = vehicle_length
         self.params = default_params(speed_limit, (num_vehicle,))
         self.active = jnp.ones(num_vehicle, bool)
+        self.use_pallas = use_pallas
+        self._fused_cache = {}
 
     def build_scene(self, rng):
         pass  # a single unbounded lane; nothing scene-random
@@ -54,12 +56,48 @@ class MicroInverseProblem(InverseProblem):
         return (jnp.asarray(np.clip(pos, lb[0], ub[0]), jnp.float32),
                 jnp.asarray(np.clip(spd, lb[1], ub[1]), jnp.float32))
 
+    def _fused(self, batch):
+        if batch not in self._fused_cache:
+            from dhts.ops.pallas import make_fused_micro_rollout
+            self._fused_cache[batch] = make_fused_micro_rollout(
+                self.delta_time, self.num_timestep, self.num_vehicle, batch,
+                self.params, DEFAULT_HEAD_POSITION_DELTA,
+                DEFAULT_HEAD_SPEED_DELTA)
+        return self._fused_cache[batch]
+
     def end_state_of(self, est, differentiable):
+        if self.use_pallas:
+            pT, vT = self._fused(1)(est[0][None, :], est[1][None, :])
+            return pT[0], vT[0]
         res = lane.micro_rollout(est[0], est[1], self.params, self.active,
                                  DEFAULT_HEAD_POSITION_DELTA,
                                  DEFAULT_HEAD_SPEED_DELTA, self.delta_time,
                                  self.num_timestep)
         return res.position, res.speed
+
+    def _build_losses(self):
+        super()._build_losses()
+        if not self.use_pallas:
+            return
+        import jax
+
+        def batch_fn(vs):
+            n = self.num_vehicle
+            pT, vT = self._fused(vs.shape[0])(vs[:, :n], vs[:, n:])
+            tp, tv = self.target_end
+            return (jnp.sum((pT - tp) ** 2, axis=1) +
+                    jnp.sum((vT - tv) ** 2, axis=1))
+
+        cache = {}
+
+        def end_error_batch(vs):
+            vs = jnp.asarray(vs, jnp.float32)
+            B = vs.shape[0]
+            if B not in cache:
+                cache[B] = jax.jit(batch_fn)
+            return cache[B](vs)
+
+        self._end_error_batch = end_error_batch
 
     def bounds(self):
         n, vl = self.num_vehicle, self.vehicle_length

@@ -8,5 +8,6 @@ inside a single Pallas program with the state resident in VMEM.
 """
 
 from dhts.ops.pallas.macro_rollout import make_fused_macro_rollout
+from dhts.ops.pallas.micro_rollout import make_fused_micro_rollout
 
-__all__ = ["make_fused_macro_rollout"]
+__all__ = ["make_fused_macro_rollout", "make_fused_micro_rollout"]

@@ -1,5 +1,5 @@
 """Cross-cutting utilities: optimizers, running stats, logging."""
 
-from dhts.utils import cma_es, rms
+from dhts.utils import checkpoint, cma_es, profiling, rms, validate
 
-__all__ = ["cma_es", "rms"]
+__all__ = ["checkpoint", "cma_es", "profiling", "rms", "validate"]

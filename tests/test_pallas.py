@@ -78,3 +78,50 @@ def test_fused_vmem_budget_guard():
     with pytest.raises(AssertionError):
         make_fused_macro_rollout(U_MAX, DT, DX, num_steps=100000, num_cell=64,
                                  batch=256, interpret=True)
+
+
+def test_fused_micro_matches_scan():
+    from dhts.models import lane as dlane
+    from dhts.models.network import (DEFAULT_HEAD_POSITION_DELTA,
+                                     DEFAULT_HEAD_SPEED_DELTA)
+    from dhts.models.vehicle import default_params
+    from dhts.ops.pallas import make_fused_micro_rollout
+
+    T, n, B, dt = 50, 6, 2, 0.01
+    rng = np.random.default_rng(3)
+    pos0 = jnp.asarray(np.sort(rng.uniform(0, 100, (B, n)), axis=1),
+                       jnp.float32)
+    vel0 = jnp.asarray(rng.uniform(2, 20, (B, n)), jnp.float32)
+    params = default_params(30.0, (n,))
+    fused = make_fused_micro_rollout(dt, T, n, B, params,
+                                     DEFAULT_HEAD_POSITION_DELTA,
+                                     DEFAULT_HEAD_SPEED_DELTA,
+                                     interpret=True)
+
+    def scan_one(p, v):
+        res = dlane.micro_rollout(p, v, params, jnp.ones(n, bool),
+                                  DEFAULT_HEAD_POSITION_DELTA,
+                                  DEFAULT_HEAD_SPEED_DELTA, dt, T)
+        return res.position, res.speed
+
+    pT_s, vT_s = jax.vmap(scan_one)(pos0, vel0)
+    pT_f, vT_f = fused(pos0, vel0)
+    np.testing.assert_allclose(np.asarray(pT_f), np.asarray(pT_s), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vT_f), np.asarray(vT_s), rtol=1e-4,
+                               atol=1e-4)
+
+    # gradients
+    def loss_f(p, v):
+        pT, vT = fused(p, v)
+        return jnp.sum(pT ** 2) * 1e-4 + jnp.sum(vT ** 2) * 1e-2
+
+    def loss_s(p, v):
+        pT, vT = jax.vmap(scan_one)(p, v)
+        return jnp.sum(pT ** 2) * 1e-4 + jnp.sum(vT ** 2) * 1e-2
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(pos0, vel0)
+    gs = jax.grad(loss_s, argnums=(0, 1))(pos0, vel0)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-5)
