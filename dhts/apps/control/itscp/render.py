@@ -122,3 +122,40 @@ def save_png(frame, path):
         return False
     Image.fromarray(frame).save(path)
     return True
+
+
+def _demo(argv=None):
+    """Render a demo episode GIF: ``python -m dhts.apps.control.itscp.render``."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from dhts.apps.control.itscp.env import ItscpEnv
+    from dhts.apps.control.itscp.problem import problem_1
+
+    ap = argparse.ArgumentParser("Render an ITSCP episode to GIF")
+    ap.add_argument("--mode", default="hybrid",
+                    choices=["macro", "micro", "hybrid"])
+    ap.add_argument("--n_intersection", type=int, default=2)
+    ap.add_argument("--action", type=float, default=0.5)
+    ap.add_argument("--out", default="itscp_demo.gif")
+    ap.add_argument("--seed", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    env = ItscpEnv(config=dict(
+        num_intersection=args.n_intersection, num_lane=1, lane_length=15.0,
+        speed_limit=20.0, cell_length=5.0, policy_length=10, signal_length=2,
+        simulation_frequency=10, random_seed=args.seed,
+        max_num_micro_vehicle_per_lane=6, mode=args.mode),
+        schedule_fn=problem_1)
+    env.reset()
+    action = jnp.full(env.action_size(), args.action)
+    res, frames = env.replay(action, jax.random.PRNGKey(args.seed), every=2)
+    ok = save_gif(frames, args.out)
+    print(f"reward {float(res.reward):.3f}; wrote {args.out}" if ok else
+          "PIL unavailable; no GIF written")
+
+
+if __name__ == "__main__":
+    _demo()

@@ -132,12 +132,15 @@ def main(argv=None):
                    default="gd,cma-es,nelder-mead,slsqp")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--use_pallas", action="store_true",
+                   help="time-fused Pallas rollout kernels (TPU)")
     args = p.parse_args(argv)
 
     run = args.run_name or f"macro_{time.time():.0f}"
     prob = MacroInverseProblem(args.n_trial, args.n_timestep, args.n_episode,
                                args.delta_time, args.speed_limit, run,
-                               args.n_cell, args.cell_length, seed=args.seed)
+                               args.n_cell, args.cell_length, seed=args.seed,
+                               use_pallas=args.use_pallas)
     prob.evaluate(methods=tuple(args.methods.split(",")))
 
 
