@@ -24,7 +24,7 @@ import numpy as np
 
 from dhts.models import network as net_mod
 from dhts.models import scene as scene_mod
-from dhts.models.vehicle import VehicleParams, default_params
+from dhts.models.vehicle import VehicleParams
 from dhts.ops import arz
 
 

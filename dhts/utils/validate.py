@@ -10,7 +10,6 @@ warnings) after the fact — the checkify pattern.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
