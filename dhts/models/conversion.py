@@ -98,19 +98,22 @@ def apply(spec: SceneSpec, state: "net.NetworkState", delta_time):
                     (head["position"] > spec.length + head["length"]))
 
     # ---------------- 4. arbitration: one insert per destination ----------
-    emit_score = jnp.where(want_emit, ar, INF)
-    tr_score = jnp.where(want_transfer, ar, INF)
-    best = jnp.full((L + 1,), INF, jnp.int32)
-    best = best.at[jnp.where(want_emit, mn_c, L)].min(emit_score)
-    best = best.at[jnp.where(want_transfer, hn_c, L)].min(tr_score)
-    best = best[:L]
+    # Every insert source is a graph predecessor of its destination (macro
+    # routes and vehicle routes both follow next_lanes edges), so instead of
+    # a scatter-min over all lanes the winner is a min over each lane's
+    # bounded predecessor list — a small gather, TPU-friendly.
+    prev = spec.prev_lanes  # [L, K]
+    pc = jnp.clip(prev, 0, L - 1)
+    prev_valid = prev >= 0
+    cand_emit = prev_valid & want_emit[pc] & (mn_c[pc] == ar[:, None])
+    cand_tr = prev_valid & want_transfer[pc] & (hn_c[pc] == ar[:, None])
+    cand_score = jnp.where(cand_emit | cand_tr, pc, INF)
+    best = jnp.min(cand_score, axis=1).astype(jnp.int32)  # [L]
     emit_win = want_emit & (best[mn_c] == ar)
     tr_win = want_transfer & (best[hn_c] == ar)
 
-    dep_best = jnp.full((L + 1,), INF, jnp.int32)
-    dep_best = dep_best.at[jnp.where(want_deposit, hn_c, L)].min(
-        jnp.where(want_deposit, ar, INF))
-    dep_best = dep_best[:L]
+    cand_dep = prev_valid & want_deposit[pc] & (hn_c[pc] == ar[:, None])
+    dep_best = jnp.min(jnp.where(cand_dep, pc, INF), axis=1).astype(jnp.int32)
     dep_win = want_deposit & (dep_best[hn_c] == ar)
 
     # ---------------- 5. removals (head pops) ----------------------------

@@ -356,8 +356,12 @@ def find_micro_leader(spec: SceneSpec, state: NetworkState):
     ``road_network.py:522-523`` is unreachable because candidates are
     restricted to the route's own next lane at ``:508``); a macro lane or
     route end terminates with the default virtual leader; empty micro lanes
-    add their length and the walk continues. Implemented as a fixed
-    ``R - 1``-iteration masked scan over all lanes simultaneously.
+    add their length and the walk continues.
+
+    Rather than a sequential walk (a latency chain of R-1 dependent gather
+    rounds per simulation step), the whole route window is gathered at once
+    and the first terminating position found with an ``argmax`` — one
+    parallel pass regardless of route length.
     """
     mic = state.micro
     L, V = mic.position.shape
@@ -365,40 +369,39 @@ def find_micro_leader(spec: SceneSpec, state: NetworkState):
     ar = jnp.arange(L)
     head = micro_head_info(spec, state)
 
-    tail_pos = mic.position[:, 0]
-    tail_vel = mic.speed[:, 0]
-    tail_len = mic.params.length[:, 0]
+    # window of the R-1 lanes after the current one on each head's route
+    offs = jnp.arange(1, R)
+    j = head["route_idx"][:, None] + offs[None, :]  # [L, W]
+    in_route = j < R
+    w = jnp.where(in_route, head["route"][ar[:, None],
+                                          jnp.clip(j, 0, R - 1)], -1)
+    exists = w >= 0
+    wc = jnp.clip(w, 0, L - 1)
+    w_macro = exists & spec.is_macro[wc]
+    occupied = exists & ~spec.is_macro[wc] & (mic.count[wc] > 0)
 
-    cur_delta0 = spec.length - head["position"] - head["length"] * 0.5
+    term = ~exists | w_macro | occupied  # first True ends the walk
+    any_term = jnp.any(term, axis=1)
+    first = jnp.argmax(term, axis=1)  # [L]
 
-    def walk(carry, o):
-        done, pd, sd, cur_delta = carry
-        j = head["route_idx"] + 1 + o
-        valid = (j < R) & ~done & head["exists"]
-        nxt = jnp.where(valid, head["route"][ar, jnp.clip(j, 0, R - 1)], -1)
-        exists = nxt >= 0
-        nc = jnp.clip(nxt, 0, L - 1)
-        nxt_macro = exists & spec.is_macro[nc]
-        nxt_micro = exists & ~spec.is_macro[nc]
-        occupied = nxt_micro & (mic.count[nc] > 0)
+    # distance accumulated over the empty micro lanes crossed before [first]
+    pass_len = jnp.where(exists & ~term, spec.length[wc], 0.0)
+    cum = jnp.concatenate(
+        [jnp.zeros((L, 1)), jnp.cumsum(pass_len, axis=1)[:, :-1]], axis=1)
+    cur_delta = (spec.length - head["position"] - head["length"] * 0.5 +
+                 cum[ar, first])
 
-        term_default = valid & (~exists | nxt_macro)
-        term_leader = valid & occupied
+    lead_lane = wc[ar, first]
+    leader_found = head["exists"] & any_term & occupied[ar, first]
+    tail_pos = mic.position[lead_lane, 0]
+    tail_vel = mic.speed[lead_lane, 0]
+    tail_len = mic.params.length[lead_lane, 0]
 
-        new_pd = jnp.maximum(cur_delta + tail_pos[nc] - tail_len[nc] * 0.5,
-                             0.0)
-        new_sd = head["speed"] - tail_vel[nc]
-        pd = jnp.where(term_leader, new_pd, pd)
-        sd = jnp.where(term_leader, new_sd, sd)
-        done = done | term_default | term_leader
-        cur_delta = jnp.where(valid & ~done, cur_delta + spec.length[nc],
-                              cur_delta)
-        return (done, pd, sd, cur_delta), None
-
-    init = (~head["exists"],
-            jnp.full((L,), DEFAULT_HEAD_POSITION_DELTA, jnp.float32),
-            jnp.full((L,), DEFAULT_HEAD_SPEED_DELTA, jnp.float32), cur_delta0)
-    (done, pd, sd, _), _ = jax.lax.scan(walk, init, jnp.arange(R - 1))
+    pd = jnp.where(leader_found,
+                   jnp.maximum(cur_delta + tail_pos - tail_len * 0.5, 0.0),
+                   DEFAULT_HEAD_POSITION_DELTA)
+    sd = jnp.where(leader_found, head["speed"] - tail_vel,
+                   DEFAULT_HEAD_SPEED_DELTA)
     return pd, sd
 
 
