@@ -50,18 +50,20 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed + 1)
         self.best_eval_reward = -float("inf")
 
-        def loss_fn(params, key):
+        def loss_fn(params, keys):
             raw = self.model.apply(params, self.obs)
             action = squash_action(raw, self.low, self.high)
-            res = env.episode(action, True, key)
-            return -res.reward
+            rewards = jax.vmap(
+                lambda k: env.episode(action, True, k).reward)(keys)
+            return -jnp.mean(rewards)
 
-        def train_step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        def train_step(params, opt_state, keys):
+            loss, grads = jax.value_and_grad(loss_fn)(params, keys)
             updates, opt_state = self.opt.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        # jit-cached per episodes-per-epoch batch size
         self._train_step = jax.jit(train_step)
 
         def eval_episode(params, key):
@@ -86,13 +88,14 @@ class Trainer:
             if epoch % max(1, num_eval_epoch) == 0:
                 self.evaluate(epoch, num_eval_episode, log_path, tb, verbose)
 
-            losses = []
-            for _ in range(max(1, num_episode_per_epoch)):
-                self.key, k = jax.random.split(self.key)
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, k)
-                losses.append(float(loss))
-            loss = float(np.mean(losses))
+            # all episodes of the epoch run as one vmapped device program
+            # (the reference loops deep-copied envs, trainer.py:144-166)
+            E = max(1, num_episode_per_epoch)
+            self.key, k = jax.random.split(self.key)
+            keys = jax.random.split(k, E)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, keys)
+            loss = float(loss)
             history.append(loss)
             with open(metrics_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, "loss_train": loss,
