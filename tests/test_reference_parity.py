@@ -204,3 +204,85 @@ def test_hybrid_chain_event_parity():
     # differs, so allow off-by-one on the emission tally)
     assert abs(our_emitted - ref_emitted) <= 1, (our_emitted, ref_emitted)
     assert abs(our_on_lane - ref_on_lane) <= 1, (our_on_lane, ref_on_lane)
+
+
+def test_hybrid_gradient_parity_through_events():
+    """d(downstream outcome)/d(upstream initial state) THROUGH emission/
+    absorption events: reference torch autograd (ancillary-a + detach
+    tricks) vs dhts native AD (straight-through combinators)."""
+    import torch as th
+    from road.lane.dmacro_lane import dMacroLane
+    from road.lane.dmicro_lane import dMicroLane
+    from road.network.road_network import RoadNetwork as RefNet
+    from road.network.route import MacroRoute as RefMacroRoute
+
+    C, dx, u_max, dt, steps = 10, 5.0, 30.0, 0.02, 400
+    r_init = np.full(C, 0.7, np.float32)
+    u_init = np.full(C, 15.0, np.float32)
+
+    net = RefNet(u_max)
+    ml0 = dMacroLane(0, C * dx, u_max, dx)
+    ml0.set_leftmost_cell(0.7, 15.0)
+    ml0.set_rightmost_cell(0.0, u_max)
+    net.add_lane(ml0)
+    mi1 = dMicroLane(1, C * dx, u_max)
+    net.add_lane(mi1)
+    ml2 = dMacroLane(2, C * dx, u_max, dx)
+    ml2.set_leftmost_cell(0.0, u_max)
+    ml2.set_rightmost_cell(0.0, u_max)
+    net.add_lane(ml2)
+    net.connect_lane(0, 1)
+    net.connect_lane(1, 2)
+    rt = RefMacroRoute()
+    rt.next_lane_dict = {0: 1, 1: 2}
+    rt.prev_lane_dict = {1: 0, 2: 1}
+    net.macro_route = rt
+    tr = th.tensor(r_init, requires_grad=True)
+    tu = th.tensor(u_init, requires_grad=True)
+    ml0.set_state_vector_u(tr, tu)
+    for _ in range(steps):
+        net.forward(dt, differentiable=True)
+    r2, _, _ = ml2.get_state_vector()
+    loss = (r2 ** 2).sum()
+    for v in mi1.curr_vehicle:
+        if isinstance(v.position, th.Tensor):
+            loss = loss + 1e-4 * v.position ** 2
+        if isinstance(v.speed, th.Tensor):
+            loss = loss + 1e-2 * v.speed ** 2
+    loss.backward()
+    ref_loss = float(loss.detach())
+    ref_gr, ref_gu = tr.grad.numpy(), tu.grad.numpy()
+
+    b = dscene.SceneBuilder(u_max, max_vehicles_per_lane=32)
+    l0 = b.add_macro_lane(C * dx, dx)
+    l1 = b.add_micro_lane(C * dx)
+    l2 = b.add_macro_lane(C * dx, dx)
+    b.connect(l0, l1)
+    b.connect(l1, l2)
+    spec, state0 = b.build(np.random.default_rng(0))
+    state0 = state0._replace(macro_next=jnp.asarray([1, 2, -1]),
+                             macro_prev=jnp.asarray([-1, 0, 1]))
+    state0 = dnet.set_external_boundary(state0, 0, left_r=0.7, left_u=15.0,
+                                        right_r=0.0, right_u=u_max)
+    state0 = dnet.set_external_boundary(state0, 2, left_r=0.0, left_u=u_max,
+                                        right_r=0.0, right_u=u_max)
+
+    def loss_fn(r, u):
+        st = dnet.set_macro_lane_state(state0, 0, r, u, spec)
+
+        def body(s, _):
+            s, _d = dnet.network_step(spec, s, dt, True)
+            return s, None
+
+        final, _ = jax.lax.scan(body, st, None, length=steps)
+        act = final.micro.active
+        return (jnp.sum(final.macro.r[2, :C] ** 2) +
+                1e-4 * jnp.sum(jnp.where(act, final.micro.position, 0.0)**2) +
+                1e-2 * jnp.sum(jnp.where(act, final.micro.speed, 0.0)**2))
+
+    val, (g_r, g_u) = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))(
+        jnp.asarray(r_init), jnp.asarray(u_init))
+
+    assert abs(float(val) - ref_loss) / abs(ref_loss) < 1e-5
+    assert _rel_err(g_r, ref_gr, floor=1e-4) < 5e-3
+    assert _rel_err(g_u, ref_gu, floor=1e-5) < 5e-4
