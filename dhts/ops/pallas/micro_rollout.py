@@ -82,12 +82,18 @@ def make_fused_micro_rollout(delta_time: float, num_steps: int,
         interpret = jax.default_backend() != "tpu"
 
     def pad_param(x):
-        x = jnp.asarray(x, jnp.float32).reshape(num_vehicle, 1)
+        # stays host-side numpy: the factory may be built INSIDE a jit trace
+        # (lazily on first use), where any jnp op would return a tracer that
+        # must not be cached across traces. Numpy constants convert per call.
+        import numpy as np
+
+        x = np.asarray(x, np.float32).reshape(num_vehicle, 1)
         # pad with safe defaults (positive speeds/accels avoid div-by-zero
         # garbage in frozen rows)
-        return jnp.concatenate(
-            [x, jnp.broadcast_to(jnp.maximum(x[-1:], 1e-2),
-                                 (V - num_vehicle, 1))], axis=0)
+        fill = np.broadcast_to(np.maximum(x[-1:], 1e-2),
+                               (V - num_vehicle, 1))
+        return np.ascontiguousarray(
+            np.concatenate([x, fill], axis=0), np.float32)
 
     pdict = {k: pad_param(getattr(params, k)) for k in
              ("accel_max", "accel_pref", "target_speed", "min_space",
