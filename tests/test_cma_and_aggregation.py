@@ -1,0 +1,76 @@
+"""Standalone tests: the hermetic CMA-ES optimizer and the soft macro-state
+aggregation of micro lanes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhts.models import network, scene
+from dhts.utils.cma_es import CmaEs
+
+
+def test_cma_sphere():
+    es = CmaEs(np.full(6, 3.0), sigma=1.0, seed=0)
+    hist, asked, best = es.optimize(
+        lambda xs: np.sum(np.asarray(xs) ** 2, axis=1), 600)
+    assert np.sum(best ** 2) < 1e-2
+
+
+def test_cma_rosenbrock_2d():
+    def rosen(xs):
+        xs = np.asarray(xs)
+        return (100 * (xs[:, 1] - xs[:, 0] ** 2) ** 2 +
+                (1 - xs[:, 0]) ** 2)
+
+    es = CmaEs(np.asarray([-1.0, 1.0]), sigma=0.5, seed=1)
+    hist, asked, best = es.optimize(rosen, 1500)
+    assert rosen(best[None])[0] < 1e-3
+
+
+def test_cma_respects_bounds():
+    lo, hi = np.zeros(4), np.ones(4)
+    es = CmaEs(np.full(4, 0.5), sigma=2.0, lower=lo, upper=hi, seed=2)
+    for _ in range(5):
+        xs = es.ask()
+        assert np.all(xs >= lo) and np.all(xs <= hi)
+        es.tell(xs, np.sum(xs, axis=1))
+
+
+def test_micro_lane_macro_state_aggregation():
+    """Soft (density, speed) view of a micro lane: own vehicles plus routed
+    vehicles on neighbor lanes (reference get_macro_state_of_micro_lane,
+    road_network.py:207-297)."""
+    b = scene.SceneBuilder(30.0, max_vehicles_per_lane=8)
+    l0 = b.add_micro_lane(50.0)
+    l1 = b.add_micro_lane(50.0)
+    b.connect(l0, l1)
+    spec, state = b.build(np.random.default_rng(0))
+    R = state.micro.route.shape[2]
+    r01 = jnp.full((2, R), -1, jnp.int32).at[:, 0].set(l0).at[:, 1].set(l1)
+    state = network.set_micro_lane_vehicles(
+        state, l0, jnp.asarray([10.0, 30.0]), jnp.asarray([12.0, 18.0]),
+        routes=r01, spec=spec)
+
+    # hard mode: two 5m vehicles on a 50m lane -> density 0.2, mean speed 15
+    d, u = network.micro_lane_macro_state(spec, state, differentiable=False)
+    assert float(d[l0]) == pytest.approx(0.2, abs=1e-6)
+    assert float(u[l0]) == pytest.approx(15.0, abs=1e-4)
+    # lane 1 is empty but lane 0's vehicles are routed to it: they appear at
+    # negative positions, off-lane in hard mode -> empty
+    assert float(d[l1]) == pytest.approx(0.0, abs=1e-6)
+    assert float(u[l1]) == pytest.approx(30.0, abs=1e-4)  # speed limit
+
+    # soft mode: membership is sigmoid-shaped; a vehicle near the end of
+    # lane 0 (routed to lane 1) bleeds a little density into lane 1's view
+    state2 = network.set_micro_lane_vehicles(
+        state, l0, jnp.asarray([10.0, 49.9]), jnp.asarray([12.0, 18.0]),
+        routes=r01, spec=spec)
+    d2, u2 = network.micro_lane_macro_state(spec, state2, differentiable=True)
+    assert 0.0 < float(d2[l1]) < 0.1
+    # density is clamped at jam density 1.0
+    many = jnp.linspace(1.0, 45.0, 8)
+    state3 = network.set_micro_lane_vehicles(
+        state, l0, many, jnp.full(8, 5.0),
+        routes=jnp.broadcast_to(r01[:1], (8, R)), spec=spec)
+    d3, _ = network.micro_lane_macro_state(spec, state3, differentiable=False)
+    assert float(d3[l0]) <= 1.0
