@@ -191,6 +191,11 @@ def make_fused_macro_rollout(u_max: float, delta_time: float,
     rollout_padded.defvjp(rollout_fwd, rollout_bwd)
 
     # ---------------- public [B, C] API with padding -----------------------
+    fn = _make_public_fn(rollout_padded, u_max, num_cell, batch, C, B)
+    return fn
+
+
+def _make_public_fn(rollout_padded, u_max, num_cell, batch, C, B):
     def fn(r0, y0, bl_r, bl_u, br_r, br_u):
         r0 = jnp.asarray(r0, jnp.float32).reshape(batch, num_cell)
         y0 = jnp.asarray(y0, jnp.float32).reshape(batch, num_cell)
@@ -216,5 +221,51 @@ def make_fused_macro_rollout(u_max: float, delta_time: float,
                                     pad_b(brr), pad_b(bru))
         return (rT[:num_cell, :batch].T, yT[:num_cell, :batch].T,
                 ms[0, :batch])
+
+    return fn
+
+
+def make_segmented_macro_rollout(u_max: float, delta_time: float,
+                                 cell_length: float, num_steps: int,
+                                 num_cell: int, batch: int,
+                                 chunk: int = 128, *,
+                                 interpret: bool | None = None):
+    """Arbitrary-horizon fused rollout: a rematerialized scan of fused
+    ``chunk``-step kernels.
+
+    Each chunk runs as one Pallas program (VMEM-resident); the scan carries
+    only the (r, y, max_speed) state between chunks and ``jax.checkpoint``
+    makes the backward pass re-run each chunk's forward kernel before its
+    backward kernel — O(chunk) residual memory for any ``num_steps``.
+    ``num_steps`` is rounded up to a multiple of ``chunk`` internally only in
+    the sense that the last partial chunk gets its own kernel.
+    """
+    n_full, rem = divmod(int(num_steps), int(chunk))
+    full_fn = make_fused_macro_rollout(u_max, delta_time, cell_length, chunk,
+                                       num_cell, batch,
+                                       interpret=interpret) if n_full else \
+        None
+    rem_fn = make_fused_macro_rollout(u_max, delta_time, cell_length, rem,
+                                      num_cell, batch,
+                                      interpret=interpret) if rem else None
+
+    def fn(r0, y0, bl_r, bl_u, br_r, br_u):
+        r = jnp.asarray(r0, jnp.float32).reshape(batch, num_cell)
+        y = jnp.asarray(y0, jnp.float32).reshape(batch, num_cell)
+        ms = jnp.zeros((batch,), jnp.float32)
+
+        if full_fn is not None:
+            @jax.checkpoint
+            def body(carry, _):
+                r, y, ms = carry
+                r, y, cms = full_fn(r, y, bl_r, bl_u, br_r, br_u)
+                return (r, y, jnp.maximum(ms, cms)), None
+
+            (r, y, ms), _ = jax.lax.scan(body, (r, y, ms), None,
+                                         length=n_full)
+        if rem_fn is not None:
+            r, y, cms = rem_fn(r, y, bl_r, bl_u, br_r, br_u)
+            ms = jnp.maximum(ms, cms)
+        return r, y, ms
 
     return fn

@@ -125,3 +125,30 @@ def test_fused_micro_matches_scan():
     for a, b in zip(gf, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                    atol=1e-5)
+
+
+def test_segmented_rollout_matches_scan_long_horizon():
+    from dhts.ops.pallas.macro_rollout import make_segmented_macro_rollout
+
+    T = 130  # 2 full chunks of 50 + remainder 30
+    r0, y0, bc = _setup(seed=7)
+    seg = make_segmented_macro_rollout(U_MAX, DT, DX, T, num_cell=10, batch=3,
+                                       chunk=50, interpret=True)
+    rT_f, yT_f, ms = seg(r0, y0, *bc)
+    rT_s, yT_s = _scan_rollout(r0, y0, bc, T)
+    np.testing.assert_allclose(np.asarray(rT_f), np.asarray(rT_s), rtol=2e-5,
+                               atol=2e-5)
+
+    def loss_f(r, y):
+        rT, yT, _ = seg(r, y, *bc)
+        return jnp.sum(rT ** 2)
+
+    def loss_s(r, y):
+        rT, yT = _scan_rollout(r, y, bc, T)
+        return jnp.sum(rT ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(r0, y0)
+    gs = jax.grad(loss_s, argnums=(0, 1))(r0, y0)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-4)
