@@ -164,6 +164,46 @@ class InverseProblem:
             progress("GD", self.num_episode - 1, float(ends[-1]))
         return np.asarray(begs).tolist(), np.asarray(ends).tolist()
 
+    def solve_gd_restarts(self, est0_batch, progress: Callable | None = None):
+        """Multi-restart GD: B independent Adam trajectories, vmapped.
+
+        The whole population of restarts — every episode of every restart's
+        rollout, backward pass and optimizer update — runs as ONE device
+        program. This is the scenario-batch axis the reference cannot
+        express (its optimization loop is Python); on TPU it is nearly free
+        until the chip saturates. ``est0_batch``: pytree pair with leading
+        restart axis ``[B, n]``. Returns ``(beg[B, E], end[B, E], best_est)``.
+        """
+        assert optax is not None, "optax required for solve_gd_restarts"
+        opt = optax.adam(self.gd_lr)
+        lb, ub = self.bounds()
+        true_state = self.true_state
+
+        def run_one(est):
+            def episode(carry, _):
+                est, opt_state = carry
+                beg = self.state_error(true_state, est)
+                val, grads = jax.value_and_grad(
+                    lambda e: self.state_error(
+                        self.target_end, self.end_state_of(e, True)))(est)
+                updates, opt_state = opt.update(grads, opt_state)
+                est = optax.apply_updates(est, updates)
+                est = jax.tree.map(jnp.clip, est, lb, ub)
+                return (est, opt_state), (beg, val)
+
+            (est, _), (begs, ends) = jax.lax.scan(
+                episode, (est, opt.init(est)), None, length=self.num_episode)
+            return est, begs, ends
+
+        ests, begs, ends = jax.jit(jax.vmap(run_one))(
+            jax.tree.map(jnp.asarray, est0_batch))
+        final = np.asarray(ends[:, -1])
+        best = int(np.argmin(final))
+        if progress:
+            progress("GDxB", self.num_episode - 1, float(final[best]))
+        return (np.asarray(begs), np.asarray(ends),
+                jax.tree.map(lambda x: x[best], ests))
+
     def solve_cma(self, est0, progress: Callable | None = None):
         """CMA-ES with vmapped population evaluation on device."""
         lb, ub = self.bounds()

@@ -90,3 +90,28 @@ def test_evaluate_writes_logs_and_graphs(tmp_path):
     lines = gd_log.read_text().strip().splitlines()
     assert len(lines) == 8 and len(lines[0].split()) == 2
     assert (tmp_path / "t" / "end_optimization_graph.png").exists()
+
+
+def test_macro_inverse_multi_restart_gd(tmp_path):
+    """Multi-restart GD: B restarts as one vmapped device program; the best
+    restart must do at least as well as any single one."""
+    import jax.numpy as jnp
+
+    prob = MacroInverseProblem(num_trial=1, num_timestep=60, num_episode=40,
+                               delta_time=0.01, speed_limit=30.0,
+                               run_name="t", num_cell=8, cell_length=5.0,
+                               log_root=str(tmp_path), seed=9)
+    rng = np.random.default_rng(9)
+    prob.initialize(rng)
+    B = 4
+    ests = [prob.random_initial_state(rng) for _ in range(B)]
+    batch = (jnp.stack([e[0] for e in ests]), jnp.stack([e[1] for e in ests]))
+    begs, ends, best = prob.solve_gd_restarts(batch)
+    assert begs.shape == (B, 40) and ends.shape == (B, 40)
+    assert np.isfinite(ends).all()
+    # restarts are genuinely different trajectories
+    assert len(np.unique(np.round(ends[:, -1], 10))) > 1
+    # the returned best est (after its final Adam step) is at least as good
+    # as the best recorded pre-step error
+    assert float(prob._end_error_soft(best)) <= float(
+        ends[:, -1].min()) * 1.2 + 1e-6
