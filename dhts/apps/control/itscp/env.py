@@ -170,7 +170,9 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
 
         # ---- macro boundary: signal-blended ghost cells -------------------
         # (reference _simulator.py:56-137)
-        gl_r, gl_u = network.get_macro_boundary(spec, state, left=True)
+        u_all = network.macro_cell_u(spec, state.macro)
+        gl_r, gl_u = network.get_macro_boundary(spec, state, left=True,
+                                                u_all=u_all)
         gl_r = jnp.where(meta.has_prev, gl_r, incoming)
         gl_u = jnp.where(meta.has_prev, gl_u,
                          arz.compute_u_eq(incoming, spec.speed_limit))
@@ -181,7 +183,8 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         bl_r = gl_r * prev_sig  # red upstream ghost: r=0
         bl_u = gl_u * prev_sig + spec.speed_limit * (1.0 - prev_sig)
 
-        gr_r, gr_u = network.get_macro_boundary(spec, state, left=False)
+        gr_r, gr_u = network.get_macro_boundary(spec, state, left=False,
+                                                u_all=u_all)
         if diff:
             s = soft_sigmoid(lane_sig - 0.5, 32.0)
         else:

@@ -216,7 +216,8 @@ def macro_cell_u(spec: SceneSpec, mac: MacroState):
     return arz.compute_u(mac.r, mac.y, spec.speed_limit)
 
 
-def get_macro_boundary(spec: SceneSpec, state: NetworkState, left: bool):
+def get_macro_boundary(spec: SceneSpec, state: NetworkState, left: bool,
+                       u_all=None):
     """Neighbor-edge (density, speed) for every macro lane's left/right side.
 
     Vectorized parity with ``RoadNetwork.get_macro_boundary``
@@ -229,7 +230,8 @@ def get_macro_boundary(spec: SceneSpec, state: NetworkState, left: bool):
     """
     mac = state.macro
     L = spec.num_lanes
-    u_all = macro_cell_u(spec, mac)
+    if u_all is None:
+        u_all = macro_cell_u(spec, mac)
     if left:
         num_adj, adj_list, routed = spec.num_prev, spec.prev_lanes, \
             state.macro_prev
@@ -410,8 +412,10 @@ def default_boundary(spec: SceneSpec, state: NetworkState,
     """The reference's ``setup_boundary`` pass for the whole network
     (``road_network.py:187-201``): macro ghost cells from neighbors /
     external cells, micro virtual leaders from the route walk."""
-    left_r, left_u = get_macro_boundary(spec, state, left=True)
-    right_r, right_u = get_macro_boundary(spec, state, left=False)
+    u_all = macro_cell_u(spec, state.macro)
+    left_r, left_u = get_macro_boundary(spec, state, left=True, u_all=u_all)
+    right_r, right_u = get_macro_boundary(spec, state, left=False,
+                                          u_all=u_all)
     pd, sd = find_micro_leader(spec, state)
     return state, BoundaryValues(left_r=left_r, left_u=left_u,
                                  right_r=right_r, right_u=right_u,
