@@ -45,7 +45,6 @@ def main():
     straight_len = 2.0 * outer
     net = ItscpRoadNetwork(speed_limit)
 
-    import math
     keys = {}
 
     def add(row, col, loc, approaching, length):

@@ -83,6 +83,8 @@ class MacroInverseProblem(InverseProblem):
             return
         # population evaluation through the fused kernel: the batch axis is
         # the kernel's native lane dimension, not a vmap over pallas_call
+        import jax
+
         from dhts.ops import arz
 
         def batch_fn(vs):
@@ -108,7 +110,6 @@ class MacroInverseProblem(InverseProblem):
                 cache[B] = jax.jit(batch_fn)
             return cache[B](vs)
 
-        import jax
         self._end_error_batch = end_error_batch
 
     def bounds(self):
