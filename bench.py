@@ -60,7 +60,7 @@ def main():
                    speed_limit=60.0, cell_length=5.0, policy_length=20,
                    signal_length=4, simulation_frequency=30, random_seed=3,
                    mode="hybrid", max_num_micro_vehicle_per_lane=10,
-                   remat=False, unroll=4)
+                   remat=False, unroll=8)
 
     env = ItscpEnv(config=cfg, schedule_fn=problem_1)
     env.reset()
