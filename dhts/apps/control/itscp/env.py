@@ -436,6 +436,33 @@ class ItscpEnv:
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
+    # -- multi-scenario batching (no reference counterpart) -----------------
+
+    def reset_batch(self, batch: int, seed: int | None = None):
+        """Draw ``batch`` independent scenarios (schedules, per-step macro
+        routes, waiting pools) and stack them into a batched EpisodeData.
+
+        The reference trains one controller per fixed schedule; with the
+        scenario axis batched, one controller trains against a distribution
+        of traffic schedules in a single device program (and shards over a
+        mesh data axis). Returns per-scenario observations ``[B, obs]``."""
+        base_seed = (self.config["random_seed"] if seed is None else seed)
+        datas, obss = [], []
+        for i in range(batch):
+            obss.append(self.reset(seed=base_seed + i if base_seed > 0
+                                   else None))
+            datas.append(self.data)
+        self.batch_data = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+        self.batch_obs = np.stack(obss)
+        return self.batch_obs
+
+    def episode_batch(self, actions, differentiable: bool, keys):
+        """Vmapped episodes over the scenario batch: ``actions`` [B, n_act],
+        ``keys`` [B, 2] -> EpisodeResult with leading batch axis."""
+        fn = self._episode_soft if differentiable else self._episode_hard
+        return jax.vmap(lambda a, d, k: fn(a, d, self.base_state, k))(
+            jnp.asarray(actions), self.batch_data, keys)
+
     def replay(self, action, key, every: int = 5):
         """Run a hard-mode episode recording state, and rasterize frames
         every ``every`` steps (the reference's eval-time frame dumps,

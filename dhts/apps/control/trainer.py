@@ -36,26 +36,60 @@ from dhts.apps.control.controller import Controller, squash_action
 class Trainer:
 
     def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
-                 render_eval=False):
+                 render_eval=False, multi_scenario=False):
+        """``multi_scenario``: train the controller against the env's whole
+        scenario batch (``env.reset_batch`` must have been called) — every
+        scenario's episode, per-scenario observation and action, runs inside
+        the one jitted train step. The reference has no counterpart (it
+        trains one controller per fixed schedule)."""
         self.env = env
         self.render_eval = render_eval
-        obs = env.observe()
-        self.obs = jnp.asarray(obs)
+        self.multi_scenario = multi_scenario
+        if multi_scenario:
+            assert getattr(env, "batch_obs", None) is not None, \
+                "call env.reset_batch(B) before Trainer(multi_scenario=True)"
+            self.obs = jnp.asarray(env.batch_obs)  # [B, obs]
+        else:
+            self.obs = jnp.asarray(env.observe())
         self.low, self.high = env.action_bounds()
         self.model = Controller(output_size=env.action_size(),
                                 network_size=tuple(network_size))
-        self.params = self.model.init(jax.random.PRNGKey(seed), self.obs)
+        self.params = self.model.init(jax.random.PRNGKey(seed), self.obs[0]
+                                      if multi_scenario else self.obs)
         self.opt = optax.adam(lr)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed + 1)
         self.best_eval_reward = -float("inf")
 
-        def loss_fn(params, keys):
-            raw = self.model.apply(params, self.obs)
-            action = squash_action(raw, self.low, self.high)
-            rewards = jax.vmap(
-                lambda k: env.episode(action, True, k).reward)(keys)
-            return -jnp.mean(rewards)
+        if multi_scenario:
+            B = self.obs.shape[0]
+
+            def loss_fn(params, keys):
+                raw = jax.vmap(lambda o: self.model.apply(params, o))(
+                    self.obs)
+                actions = squash_action(raw, self.low, self.high)
+                res = env.episode_batch(actions, True, keys)
+                return -jnp.mean(res.reward)
+
+            def eval_episode(params, key):
+                raw = jax.vmap(lambda o: self.model.apply(params, o))(
+                    self.obs)
+                actions = squash_action(raw, self.low, self.high)
+                res = env.episode_batch(actions, False,
+                                        jax.random.split(key, B))
+                return res._replace(reward=jnp.mean(res.reward))
+        else:
+            def loss_fn(params, keys):
+                raw = self.model.apply(params, self.obs)
+                action = squash_action(raw, self.low, self.high)
+                rewards = jax.vmap(
+                    lambda k: env.episode(action, True, k).reward)(keys)
+                return -jnp.mean(rewards)
+
+            def eval_episode(params, key):
+                raw = self.model.apply(params, self.obs)
+                action = squash_action(raw, self.low, self.high)
+                return env.episode(action, False, key)
 
         def train_step(params, opt_state, keys):
             loss, grads = jax.value_and_grad(loss_fn)(params, keys)
@@ -65,12 +99,6 @@ class Trainer:
 
         # jit-cached per episodes-per-epoch batch size
         self._train_step = jax.jit(train_step)
-
-        def eval_episode(params, key):
-            raw = self.model.apply(params, self.obs)
-            action = squash_action(raw, self.low, self.high)
-            return env.episode(action, False, key)
-
         self._eval_episode = jax.jit(eval_episode)
 
     # -- training loop ------------------------------------------------------
@@ -89,8 +117,10 @@ class Trainer:
                 self.evaluate(epoch, num_eval_episode, log_path, tb, verbose)
 
             # all episodes of the epoch run as one vmapped device program
-            # (the reference loops deep-copied envs, trainer.py:144-166)
-            E = max(1, num_episode_per_epoch)
+            # (the reference loops deep-copied envs, trainer.py:144-166);
+            # in multi-scenario mode one episode per scenario per epoch
+            E = (self.obs.shape[0] if self.multi_scenario else
+                 max(1, num_episode_per_epoch))
             self.key, k = jax.random.split(self.key)
             keys = jax.random.split(k, E)
             self.params, self.opt_state, loss = self._train_step(

@@ -111,3 +111,19 @@ def test_training_reduces_loss(tmp_path):
     trainer.load(str(tmp_path / "run" / "model.msgpack"))
     after = jax.tree.leaves(trainer.params)[0]
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+def test_multi_scenario_training(tmp_path):
+    """One controller trained against a batch of random schedules in a
+    single device program; per-scenario obs -> per-scenario actions."""
+    env = ItscpEnv(config=dict(SMALL, mode="macro"), schedule_fn=problem_1)
+    obs = env.reset_batch(3, seed=5)
+    assert obs.shape[0] == 3
+    # scenarios genuinely differ
+    assert len(np.unique(obs.sum(axis=1))) > 1
+    trainer = Trainer(env, network_size=(16, 16), lr=3e-3, seed=0,
+                      multi_scenario=True)
+    hist = trainer.train(1, 6, 3, 1, str(tmp_path / "multi"), verbose=False)
+    assert np.isfinite(hist).all()
+    res = trainer._eval_episode(trainer.params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(res.reward))
