@@ -62,3 +62,16 @@ def test_fused_episode_action_gradient_matches_scan():
     assert np.all(np.isfinite(np.asarray(gf)))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), rtol=1e-2,
                                atol=1e-5)
+
+
+def test_trainer_with_fused_episode(tmp_path):
+    """Training through the fused whole-episode kernel end-to-end."""
+    from dhts.apps.control.trainer import Trainer
+
+    env = ItscpEnv(config=dict(CFG, use_fused_episode=True),
+                   schedule_fn=problem_1)
+    env.reset()
+    trainer = Trainer(env, network_size=(16, 16), lr=3e-3, seed=0)
+    hist = trainer.train(1, 5, 5, 1, str(tmp_path / "fused"), verbose=False)
+    assert np.isfinite(hist).all()
+    assert hist[-1] <= hist[0] + 1e-6
