@@ -90,8 +90,11 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
     has_prev = row(np.asarray(meta.has_prev), fill=0.0)
     num_prev = row(np.asarray(spec.num_prev), np.int32, 0)
     num_next = row(np.asarray(spec.num_next), np.int32, 0)
-    prev0 = row(np.asarray(spec.prev_lanes[:, 0]), np.int32, -1)
-    next0 = row(np.asarray(spec.next_lanes[:, 0]), np.int32, -1)
+    # convert to numpy BEFORE slicing: this factory may be built inside a
+    # jit trace (lazily on first use), where jnp slicing would stage a
+    # traced op on the concrete closed-over array
+    prev0 = row(np.asarray(spec.prev_lanes)[:, 0], np.int32, -1)
+    next0 = row(np.asarray(spec.next_lanes)[:, 0], np.int32, -1)
 
     # cell masks / first-last cell picks: [Cp, Lp]
     cmask = np.zeros((Cp, Lp), np.float32)
