@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_root", type=str, default="result/control/itscp")
+    p.add_argument("--fused_episode", action="store_true",
+                   help="train through the whole-episode Pallas kernel "
+                        "(macro mode only; ~3x on TPU)")
     args = p.parse_args(argv)
 
     env = ItscpEnv(config=dict(
@@ -45,7 +48,9 @@ def main(argv=None):
         lane_length=args.lane_length, speed_limit=args.speed_limit,
         policy_length=args.simulation_length,
         signal_length=args.signal_length, mode=args.mode,
-        random_seed=args.seed), schedule_fn=PROBLEMS[args.problem])
+        random_seed=args.seed,
+        use_fused_episode=args.fused_episode),
+        schedule_fn=PROBLEMS[args.problem])
 
     run_name = os.path.join(args.log_root,
                             f"{args.mode}_{int(time.time())}")
