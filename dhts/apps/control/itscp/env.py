@@ -126,6 +126,8 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
     veh_len = config["vehicle_length"]
     diff = differentiable
     L = spec.num_lanes
+    # static: pure-macro scenes skip every micro/hybrid op in the step
+    all_macro = bool(np.all(np.asarray(spec.is_macro)))
 
     def boundary_and_step(state, t, action2d, sched_t, rand_t, inj_routes,
                           inj_left, is_static_ms, signal_ms):
@@ -136,37 +138,43 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         incoming = jnp.where(meta.has_prev, -1.0, sched_t)
 
         # ---- micro injection (before leader search; _simulator.py:153-174)
-        free = jnp.where(mic.count > 0,
-                         mic.position[:, 0] - 0.5 * mic.params.length[:, 0],
-                         spec.length)
-        inject = (~meta.has_prev & ~spec.is_macro & (free > 0.5 * veh_len) &
-                  (rand_t < incoming) & (inj_left > 0) & (mic.count < V))
-        P = inj_routes.shape[1]
-        pool_idx = jnp.clip(P - inj_left, 0, P - 1)
-        new_route = inj_routes[ar, pool_idx]
-        rank = jnp.cumsum(inject.astype(jnp.int32)) - 1
-        new_vid = jnp.where(inject, state.veh_counter + rank, -1)
-        from dhts.models.vehicle import default_params
-        dflt = default_params(spec.speed_limit, (L,))
+        if not all_macro:
+            free = jnp.where(
+                mic.count > 0,
+                mic.position[:, 0] - 0.5 * mic.params.length[:, 0],
+                spec.length)
+            inject = (~meta.has_prev & ~spec.is_macro &
+                      (free > 0.5 * veh_len) & (rand_t < incoming) &
+                      (inj_left > 0) & (mic.count < V))
+            P = inj_routes.shape[1]
+            pool_idx = jnp.clip(P - inj_left, 0, P - 1)
+            new_route = inj_routes[ar, pool_idx]
+            rank = jnp.cumsum(inject.astype(jnp.int32)) - 1
+            new_vid = jnp.where(inject, state.veh_counter + rank, -1)
+            from dhts.models.vehicle import default_params
+            dflt = default_params(spec.speed_limit, (L,))
 
-        def tail_insert(x, newval):
-            shifted = jnp.concatenate([newval[:, None, ...], x[:, :-1, ...]],
-                                      axis=1)
-            m = inject.reshape((L,) + (1,) * (x.ndim - 1))
-            return jnp.where(m, shifted, x)
+            def tail_insert(x, newval):
+                shifted = jnp.concatenate(
+                    [newval[:, None, ...], x[:, :-1, ...]], axis=1)
+                m = inject.reshape((L,) + (1,) * (x.ndim - 1))
+                return jnp.where(m, shifted, x)
 
-        mic = mic._replace(
-            position=tail_insert(mic.position, jnp.zeros(L)),
-            speed=tail_insert(mic.speed, jnp.zeros(L)),
-            params=jax.tree.map(tail_insert, mic.params, dflt),
-            route=tail_insert(mic.route, new_route),
-            route_idx=tail_insert(mic.route_idx, jnp.zeros(L, jnp.int32)),
-            vid=tail_insert(mic.vid, new_vid),
-            count=mic.count + inject.astype(jnp.int32))
-        n_inj = jnp.sum(inject.astype(jnp.int32))
-        state = state._replace(
-            micro=mic, veh_counter=state.veh_counter + n_inj)
-        inj_left = inj_left - inject.astype(jnp.int32)
+            mic = mic._replace(
+                position=tail_insert(mic.position, jnp.zeros(L)),
+                speed=tail_insert(mic.speed, jnp.zeros(L)),
+                params=jax.tree.map(tail_insert, mic.params, dflt),
+                route=tail_insert(mic.route, new_route),
+                route_idx=tail_insert(mic.route_idx,
+                                      jnp.zeros(L, jnp.int32)),
+                vid=tail_insert(mic.vid, new_vid),
+                count=mic.count + inject.astype(jnp.int32))
+            n_inj = jnp.sum(inject.astype(jnp.int32))
+            state = state._replace(
+                micro=mic, veh_counter=state.veh_counter + n_inj)
+            inj_left = inj_left - inject.astype(jnp.int32)
+        else:
+            n_inj = jnp.zeros((), jnp.int32)
 
         # ---- macro boundary: signal-blended ghost cells -------------------
         # (reference _simulator.py:56-137)
@@ -194,6 +202,20 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
 
         # ---- micro boundary: green leader vs red stop-at-end --------------
         # (reference _simulator.py:176-276)
+        if all_macro:
+            pd = jnp.full((L,), network.DEFAULT_HEAD_POSITION_DELTA)
+            sd = jnp.zeros((L,))
+            bv = network.BoundaryValues(
+                left_r=bl_r, left_u=bl_u, right_r=br_r, right_u=br_u,
+                head_position_delta=pd, head_speed_delta=sd)
+            state, max_wave, _ = network.lanes_forward(spec, state, bv, dt,
+                                                       skip_micro=True)
+            emitted = jnp.zeros((), jnp.int32)
+            absorbed = jnp.zeros((), jnp.int32)
+            return _queue_reward(state, is_static_ms, inj_left, signal_ms,
+                                 n_inj, emitted, absorbed, max_wave,
+                                 lane_sig)
+
         pd_g, sd_g = network.find_micro_leader(spec, state)
         head = network.micro_head_info(spec, state)
         red_pd = jnp.maximum(
@@ -251,28 +273,39 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         state, max_wave, _ = network.lanes_forward(spec, state, bv, dt)
         from dhts.models import conversion
         state, emitted, absorbed = conversion.apply(spec, state, dt)
+        return _queue_reward(state, is_static_ms, inj_left, signal_ms, n_inj,
+                             emitted, absorbed, max_wave, lane_sig)
 
+    def _queue_reward(state, is_static_ms, inj_left, signal_ms, n_inj,
+                      emitted, absorbed, max_wave, lane_sig):
         # ---- queue-length reward ------------------------------------------
         # (reference _env.py:662-742: soft static-speed test, RMS-sharpened)
         u_cells = network.macro_cell_u(spec, state.macro)
         cell_m = spec.cell_mask & spec.is_macro[:, None]
-        veh_m = state.micro.active & ~spec.is_macro[:, None]
         is_static_ms = rms.update_mean_masked(
             is_static_ms, static_speed - u_cells, cell_m)
-        is_static_ms = rms.update_mean_masked(
-            is_static_ms, static_speed - state.micro.speed, veh_m)
+        if not all_macro:
+            veh_m = state.micro.active & ~spec.is_macro[:, None]
+            is_static_ms = rms.update_mean_masked(
+                is_static_ms, static_speed - state.micro.speed, veh_m)
         if diff:
             const = 16.0 / jnp.maximum(
                 jnp.abs(rms.mean_of(is_static_ms, 1.0)), 1e-6)
             stat_c = soft_sigmoid(static_speed - u_cells, const)
-            stat_v = soft_sigmoid(static_speed - state.micro.speed, const)
         else:
             stat_c = (u_cells < static_speed).astype(jnp.float32)
-            stat_v = (state.micro.speed < static_speed).astype(jnp.float32)
         n_veh_per_cell = (state.macro.r * spec.cell_length[:, None] / veh_len)
         q_macro = jnp.sum(stat_c * n_veh_per_cell * cell_m, axis=1)
-        q_micro = jnp.sum(stat_v * veh_m, axis=1)
-        q_lane = jnp.where(spec.is_macro, q_macro, q_micro)
+        if all_macro:
+            q_lane = q_macro
+        else:
+            if diff:
+                stat_v = soft_sigmoid(static_speed - state.micro.speed, const)
+            else:
+                stat_v = (state.micro.speed < static_speed).astype(
+                    jnp.float32)
+            q_micro = jnp.sum(stat_v * veh_m, axis=1)
+            q_lane = jnp.where(spec.is_macro, q_macro, q_micro)
         queue = jnp.sum(q_lane ** 2) * dt
 
         return (state, inj_left, is_static_ms, signal_ms, queue, n_inj,

@@ -429,9 +429,12 @@ def default_boundary(spec: SceneSpec, state: NetworkState,
 
 
 def lanes_forward(spec: SceneSpec, state: NetworkState, bv: BoundaryValues,
-                  delta_time):
+                  delta_time, skip_micro: bool = False):
     """Advance every lane once (reference ``lane.forward`` +
-    ``update_state`` over all lanes, ``road_network.py:99-107``)."""
+    ``update_state`` over all lanes, ``road_network.py:99-107``).
+
+    ``skip_micro`` (static) elides the IDM step for scenes the caller knows
+    contain no micro lanes."""
     mac, mic = state.macro, state.micro
 
     # Macro: pad each lane's unused cells with its right-ghost state so the
@@ -447,6 +450,11 @@ def lanes_forward(spec: SceneSpec, state: NetworkState, bv: BoundaryValues,
     keep = spec.cell_mask & spec.is_macro[:, None]
     new_r = jnp.where(keep, res.r, mac.r)
     new_y = jnp.where(keep, res.y, mac.y)
+
+    if skip_micro:
+        state = state._replace(macro=mac._replace(r=new_r, y=new_y))
+        max_wave = jnp.where(spec.is_macro, res.max_wave_speed, 0.0)
+        return state, max_wave, jnp.zeros((), jnp.int32)
 
     # Micro: one vectorized IDM + Euler step over [L, V]
     p = mic.params
