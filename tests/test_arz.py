@@ -179,3 +179,11 @@ def test_godunov_gradient_matches_finite_difference():
         um = u0.at[idx].add(-eps)
         fd = (rollout(r0, up) - rollout(r0, um)) / (2 * eps)
         assert float(g_u[idx]) == pytest.approx(float(fd), rel=0.05, abs=1e-3)
+
+
+def test_r_from_u_eq_inverts_closure():
+    u_max = 30.0
+    for r in [0.05, 0.3, 0.8]:
+        ueq = arz.compute_u_eq(r, u_max)
+        back = float(arz.compute_r_from_u_eq(ueq, u_max))
+        assert back == pytest.approx(r, rel=1e-3, abs=1e-3)

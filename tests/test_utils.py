@@ -56,3 +56,15 @@ def test_section_timer():
         pass
     assert t.counts["x"] == 2
     assert "x:" in t.report()
+
+
+def test_host_running_mean_window():
+    from dhts.utils.rms import RunningMean
+
+    rm = RunningMean(size=4)
+    rm.update(np.asarray([1.0, 2.0]))
+    rm.update(3.0)
+    assert rm.mean() == pytest.approx(2.0)
+    rm.update(np.asarray([10.0, 10.0, 10.0]))  # window keeps last 4
+    assert rm.mean() == pytest.approx((3.0 + 30.0) / 4)
+    assert rm.std() >= 1e-4
