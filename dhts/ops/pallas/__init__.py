@@ -7,9 +7,10 @@ batch) per-step overhead dominates. The kernels here run the whole rollout
 inside a single Pallas program with the state resident in VMEM.
 """
 
+from dhts.ops.pallas.itscp_episode import make_fused_itscp_macro_episode
 from dhts.ops.pallas.macro_rollout import (make_fused_macro_rollout,
                                             make_segmented_macro_rollout)
 from dhts.ops.pallas.micro_rollout import make_fused_micro_rollout
 
-__all__ = ["make_fused_macro_rollout", "make_fused_micro_rollout",
-           "make_segmented_macro_rollout"]
+__all__ = ["make_fused_itscp_macro_episode", "make_fused_macro_rollout",
+           "make_fused_micro_rollout", "make_segmented_macro_rollout"]
