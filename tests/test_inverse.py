@@ -118,3 +118,33 @@ def test_macro_inverse_multi_restart_gd(tmp_path):
     # restart 0's vmapped trajectory matches a standalone solve_gd exactly
     _, single_end = prob.solve_gd((batch[0][0], batch[1][0]))
     np.testing.assert_allclose(ends[0], np.asarray(single_end), rtol=1e-6)
+
+
+def test_use_pallas_paths_match_scan(tmp_path):
+    """The fused-kernel problem variants produce the same losses and GD
+    trajectories as the scan path (interpret mode)."""
+    import jax.numpy as jnp
+
+    from dhts.apps.inverse.micro import MicroInverseProblem
+
+    for cls, kw in [
+        (MacroInverseProblem, dict(num_cell=6, cell_length=5.0)),
+        (MicroInverseProblem, dict(num_vehicle=5, vehicle_length=5.0)),
+    ]:
+        runs = {}
+        for up in (False, True):
+            prob = cls(num_trial=1, num_timestep=40, num_episode=6,
+                       delta_time=0.01, speed_limit=30.0, run_name="t",
+                       log_root=str(tmp_path), seed=11, use_pallas=up, **kw)
+            rng = np.random.default_rng(11)
+            prob.initialize(rng)
+            est0 = prob.random_initial_state(rng)
+            _, ends = prob.solve_gd(est0)
+            # population (CMA) evaluation path
+            v = np.concatenate([np.asarray(est0[0]), np.asarray(est0[1])])
+            batch = prob._end_error_batch(np.stack([v, v * 0.99]))
+            runs[up] = (np.asarray(ends), np.asarray(batch))
+        np.testing.assert_allclose(runs[True][0], runs[False][0], rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(runs[True][1], runs[False][1], rtol=1e-3,
+                                   atol=1e-4)
