@@ -164,3 +164,11 @@ class Network:
 
     def num_vehicles(self, lane_id: int) -> int:
         return int(self.state.micro.count[lane_id])
+
+
+def cell_of(spec, lane_id: int, position) -> int:
+    """Index of the cell containing ``position`` on a macro lane
+    (reference ``MacroLane.which``, ``_macro_lane.py:149-154``)."""
+    import math
+
+    return math.floor(float(position) / float(spec.cell_length[lane_id]))
