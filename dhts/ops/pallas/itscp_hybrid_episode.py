@@ -1,0 +1,609 @@
+"""Whole-episode fused Pallas kernel for ITSCP hybrid/micro scenes — forward.
+
+Generalizes :mod:`dhts.ops.pallas.itscp_episode` to scenes with micro lanes:
+the vehicle containers live in VMEM as ``[V, Lp]`` rows (slot v behind slot
+v+1; fixed capacity), routes as ``[V, R, Lp]``, and every per-step event of
+the scan-based env — stochastic waiting-pool injection, route-window leader
+search, IDM, signal-blended deltas, flux-capacitor emission, micro↔micro
+transfer, micro→macro mass deposits, exits — is expressed with the same
+one-hot-matmul gather idiom (dynamic vector gathers do not lower on Pallas
+TPU).
+
+FORWARD ONLY in round 1: it accelerates evaluation / gradient-free
+optimization (CMA-ES over actions) and pins down the on-chip step for the
+round-2 backward, whose design (reversible integer container state via
+per-step event descriptors) is recorded in CLAUDE.md. Training keeps the
+scan path.
+
+Step semantics mirror ``dhts/apps/control/itscp/env.py::boundary_and_step``
+exactly (same formulas, same RMS statistics, same arbitration); the parity
+test drives both on identical pre-drawn randomness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from dhts.ops import arz, idm
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
+                             differentiable: bool = False, *,
+                             interpret: bool | None = None):
+    """Build the fused forward episode for a (possibly) hybrid scene.
+
+    Returns ``fn(action2d, schedule[T,L], mnext[T,L], mprev[T,L],
+    rand[T,L], inj_routes[L,P,R]) -> (reward, queues[T])`` starting from the
+    empty network state (the ITSCP initial condition).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    L = int(spec.num_lanes)
+    C = int(spec.max_cells)
+    Lp = _round_up(L, _LANE)
+    Cp = _round_up(C, _SUBLANE)
+    Vp = _round_up(V, _SUBLANE)
+    T = int(config["policy_length"] * config["duration"] *
+            config["simulation_frequency"])
+    nsf = config["simulation_frequency"] * config["signal_length"]
+    n_phases = max(1, (config["policy_length"] * config["duration"]) //
+                   config["signal_length"])
+    n_inter = int(config["num_intersection"]) ** 2
+    NIp = _round_up(n_inter, _LANE)
+    NPp = _round_up(n_phases, _SUBLANE)
+    dt = 1.0 / config["simulation_frequency"]
+    u_max = float(config["speed_limit"])
+    static_speed = float(config["static_speed"])
+    veh_len = float(config["vehicle_length"])
+    diff = differentiable
+    W = R - 1
+    K = int(np.asarray(spec.next_lanes).shape[1])
+
+    # ---- static constants -------------------------------------------------
+    def row(x, dtype=np.float32, fill=0.0):
+        out = np.full((1, Lp), fill, dtype)
+        out[0, :L] = np.asarray(x)
+        return out
+
+    num_cell = np.asarray(spec.num_cell)
+    lane_mask = row(np.ones(L))
+    is_macro = row(np.asarray(spec.is_macro).astype(np.float32))
+    length_row = row(np.asarray(spec.length), fill=1.0)
+    cell_len = row(np.asarray(spec.cell_length), fill=1.0)
+    coef = (dt / cell_len).astype(np.float32)
+    approaching = row(np.asarray(meta.approaching))
+    is_we = row(np.asarray(meta.is_we))
+    has_prev = row(np.asarray(meta.has_prev))
+    num_prev = row(np.asarray(spec.num_prev), np.int32, 0)
+    num_next = row(np.asarray(spec.num_next), np.int32, 0)
+    prev_np = np.asarray(spec.prev_lanes)
+    next_np = np.asarray(spec.next_lanes)
+    prev0 = row(prev_np[:, 0], np.int32, -1)
+    next0 = row(next_np[:, 0], np.int32, -1)
+    # adjacency lists as [K, Lp] (for capacitor slots and arbitration)
+    next_k = np.full((K, Lp), -1, np.int32)
+    prev_k = np.full((K, Lp), -1, np.int32)
+    next_k[:, :L] = next_np.T
+    prev_k[:, :L] = prev_np.T
+
+    cmask = np.zeros((Cp, Lp), np.float32)
+    first_pick = np.zeros((Cp, Lp), np.float32)
+    last_pick = np.zeros((Cp, Lp), np.float32)
+    for li in range(L):
+        n = int(num_cell[li])
+        if np.asarray(spec.is_macro)[li]:
+            cmask[:n, li] = 1.0
+            first_pick[0, li] = 1.0
+            last_pick[max(n - 1, 0), li] = 1.0
+    inter_pick = np.zeros((NIp, Lp), np.float32)
+    for li in range(L):
+        inter_pick[int(np.asarray(meta.inter)[li]), li] = 1.0
+    # default vehicle params (emission/injection use defaults,
+    # micro_vehicle.py:30-72)
+    dflt = dict(accel_max=u_max, accel_pref=0.8 * u_max,
+                target_speed=0.9 * u_max, min_space=0.1 * veh_len,
+                time_pref=0.1, length=veh_len)
+
+    consts = dict(lane_mask=lane_mask, is_macro=is_macro, length=length_row,
+                  cell_len=cell_len, coef=coef, approaching=approaching,
+                  is_we=is_we, has_prev=has_prev, num_prev=num_prev,
+                  num_next=num_next, prev0=prev0, next0=next0,
+                  next_k=next_k, prev_k=prev_k, cmask=cmask,
+                  first_pick=first_pick, last_pick=last_pick,
+                  inter_pick=inter_pick)
+    const_names = sorted(consts.keys())
+
+    INF = jnp.int32(Lp)
+
+    def soft(x, c):
+        return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
+
+    def gate(x, c):
+        return soft(x, c) if diff else (x > 0).astype(jnp.float32)
+
+    def oh_l(idx_row):
+        """[Lp, Lp] one-hot columns of a [1, Lp] int row (invalid -> zero)."""
+        return (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
+                idx_row).astype(jnp.float32)
+
+    def gather_l(values_row, idx_row):
+        return jnp.dot(values_row, oh_l(idx_row),
+                       preferred_element_type=jnp.float32)
+
+    def gather_l_int(values_row, idx_row, fill=0):
+        g = jnp.dot(values_row.astype(jnp.float32), oh_l(idx_row),
+                    preferred_element_type=jnp.float32)
+        out = g.astype(jnp.int32)
+        return jnp.where(idx_row >= 0, out, fill)
+
+    def head_oh(count):
+        """[Vp, Lp] one-hot of the head slot (count-1); zero if count==0."""
+        h = count - 1
+        return ((jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) == h) &
+                (count > 0)).astype(jnp.float32)
+
+    def pick_v(arr, ohv):
+        """Pick one row per lane from [Vp, Lp] via a [Vp, Lp] one-hot."""
+        return jnp.sum(arr * ohv, axis=0, keepdims=True)
+
+    def pick_route(route, ohv):
+        """route [Vp, R, Lp] -> [R, Lp] at each lane's one-hot slot."""
+        return jnp.sum(route * ohv[:, None, :], axis=0)
+
+    def pick_r(route_rl, j_row):
+        """route_rl [R, Lp], j_row [1, Lp] -> entries [1, Lp] (-1 invalid)."""
+        ohr = ((jax.lax.broadcasted_iota(jnp.int32, (R, Lp), 0) == j_row) &
+               (j_row >= 0) & (j_row < R)).astype(jnp.float32)
+        val = jnp.sum(route_rl.astype(jnp.float32) * ohr, axis=0,
+                      keepdims=True)
+        ok = (j_row >= 0) & (j_row < R)
+        return jnp.where(ok, val.astype(jnp.int32), -1)
+
+    def tail_insert(arr, new_row, mask_row):
+        """Shift [Vp, ...] up by one slot where mask; write slot 0."""
+        shifted = jnp.concatenate([new_row[None], arr[:-1]], axis=0)
+        m = mask_row > 0 if mask_row.dtype != jnp.bool_ else mask_row
+        return jnp.where(m, shifted, arr)
+
+    # =====================================================================
+    def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
+             inj_routes, cn):
+        (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
+         count, route, ridx, cap, inj_left, cursor, ss_tot, ss_cnt, sg_tot,
+         sg_cnt) = carry
+        act_rows = (jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) <
+                    count).astype(jnp.float32)
+        micro_row = 1.0 - cn["is_macro"]
+
+        # ---- signals
+        phase = jnp.minimum(t // nsf, n_phases - 1)
+        ph_oh = (jax.lax.broadcasted_iota(jnp.int32, (NPp, 1), 0) ==
+                 phase).astype(jnp.float32)
+        a_row = jnp.sum(action2d * ph_oh, axis=0, keepdims=True)
+        a_lane = jnp.dot(a_row, cn["inter_pick"],
+                         preferred_element_type=jnp.float32)
+        progress = jnp.minimum((t % nsf).astype(jnp.float32) / nsf, 1.0)
+        g_axis = jnp.where(cn["is_we"] > 0, gate(a_lane - progress, 32.0),
+                           gate(progress - a_lane, 32.0))
+        sig = jnp.where(cn["approaching"] > 0, g_axis, 1.0)
+
+        incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
+
+        # ---- injection (env lines: free space, rand < incoming, pool left)
+        free = jnp.where(count > 0, pos[:1] - 0.5 * p_len[:1], cn["length"])
+        inject = ((cn["has_prev"] == 0) & (micro_row > 0) &
+                  (free > 0.5 * veh_len) & (rand_t < incoming) &
+                  (inj_left > 0) & (count < V))
+        pool_idx = jnp.clip(P - inj_left, 0, P - 1)
+        ohp = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
+                pool_idx[None]).astype(jnp.float32))
+        new_route = jnp.sum(inj_routes.astype(jnp.float32) * ohp,
+                            axis=0).astype(jnp.int32)  # [R, Lp]
+        im = inject
+        pos = tail_insert(pos, jnp.zeros((Lp,)), im)
+        vel = tail_insert(vel, jnp.zeros((Lp,)), im)
+        av = tail_insert(av, jnp.full((Lp,), veh_len), im)
+        p_amax = tail_insert(p_amax, jnp.full((Lp,), dflt["accel_max"]), im)
+        p_apref = tail_insert(p_apref, jnp.full((Lp,), dflt["accel_pref"]),
+                              im)
+        p_vt = tail_insert(p_vt, jnp.full((Lp,), dflt["target_speed"]), im)
+        p_ms = tail_insert(p_ms, jnp.full((Lp,), dflt["min_space"]), im)
+        p_tp = tail_insert(p_tp, jnp.full((Lp,), dflt["time_pref"]), im)
+        p_len = tail_insert(p_len, jnp.full((Lp,), dflt["length"]), im)
+        route = jnp.where(im[None], jnp.concatenate(
+            [new_route[None], route[:-1]], axis=0), route)
+        ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
+        count = count + im.astype(jnp.int32)
+        inj_left = inj_left - im.astype(jnp.int32)
+
+        # ---- macro boundary (signal-blended ghosts)
+        u = arz.compute_u(r, y, u_max)
+        r_last = jnp.sum(r * cn["last_pick"], axis=0, keepdims=True)
+        u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
+        r_first = jnp.sum(r * cn["first_pick"], axis=0, keepdims=True)
+        u_first = jnp.sum(u * cn["first_pick"], axis=0, keepdims=True)
+        adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
+        adjp_macro = gather_l(cn["is_macro"], adjp) > 0.5
+        use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & adjp_macro
+        hp_b = cn["has_prev"] > 0
+        gl_r = jnp.where(hp_b,
+                         jnp.where(use_nb_l, gather_l(r_last, adjp), 0.0),
+                         incoming)
+        gl_u = jnp.where(hp_b,
+                         jnp.where(use_nb_l, gather_l(u_last, adjp), u_max),
+                         arz.compute_u_eq(incoming, u_max))
+        prev_sig = jnp.where(~hp_b, 1.0,
+                             jnp.where(mprev_t < 0, 0.0,
+                                       gather_l(sig, mprev_t)))
+        bl_r = gl_r * prev_sig
+        bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
+        adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
+        adjn_macro = gather_l(cn["is_macro"], adjn) > 0.5
+        use_nb_r = (cn["num_next"] > 0) & (adjn >= 0) & adjn_macro
+        gr_r = jnp.where(use_nb_r, gather_l(r_first, adjn), 0.0)
+        gr_u = jnp.where(use_nb_r, gather_l(u_first, adjn), u_max)
+        s_own = soft(sig - 0.5, 32.0) if diff else \
+            (sig > 0.5).astype(jnp.float32)
+        br_r = gr_r * s_own + (1.0 - s_own)
+        br_u = gr_u * s_own
+
+        # ---- micro leader search (window form of find_micro_leader)
+        ohv_h = head_oh(count)
+        hv_pos = pick_v(pos, ohv_h)
+        hv_vel = pick_v(vel, ohv_h)
+        hv_len = pick_v(p_len, ohv_h)
+        hv_a = pick_v(av, ohv_h)
+        route_h = pick_route(route, ohv_h)  # [R, Lp]
+        ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
+        h_exists = count > 0
+
+        count_row = count.astype(jnp.float32)
+        # window walk: per offset o, the lane R positions ahead on the route
+        pd_g = jnp.full((1, Lp), 1000.0)
+        sd_g = jnp.zeros((1, Lp))
+        cur_delta = cn["length"] - hv_pos - hv_len * 0.5
+        done = ~h_exists
+        for o in range(W):
+            j = ridx_h + 1 + o
+            wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
+            exists = wl >= 0
+            w_macro = gather_l(cn["is_macro"], wl) > 0.5
+            w_count = gather_l(count_row, wl)
+            occupied = exists & ~w_macro & (w_count > 0.5)
+            term_default = ~done & (~exists | (exists & w_macro))
+            term_leader = ~done & occupied
+            tail_pos = gather_l(pos[:1], wl)
+            tail_vel = gather_l(vel[:1], wl)
+            tail_len = gather_l(p_len[:1], wl)
+            new_pd = jnp.maximum(cur_delta + tail_pos - tail_len * 0.5, 0.0)
+            pd_g = jnp.where(term_leader, new_pd, pd_g)
+            sd_g = jnp.where(term_leader, hv_vel - tail_vel, sd_g)
+            done = done | term_default | term_leader
+            cur_delta = jnp.where(~done,
+                                  cur_delta + gather_l(cn["length"], wl),
+                                  cur_delta)
+
+        # ---- micro signal blending (env boundary_and_step)
+        red_pd = jnp.maximum(cn["length"] - hv_pos - hv_len * 0.5, 0.0)
+        prev_l = pick_r(route_h, ridx_h - 1)
+        next_l = pick_r(route_h, ridx_h + 1)
+        curr_l = pick_r(route_h, ridx_h)
+        prev_exist = prev_l >= 0
+        next_exist = next_l >= 0
+        if diff:
+            p_sc = jnp.where(prev_exist, soft(-hv_pos, 16.0), 0.0)
+            c_sc = soft(hv_pos, 16.0) * soft(cn["length"] - hv_pos, 16.0)
+            n_sc = jnp.where(next_exist, soft(hv_pos - cn["length"], 16.0),
+                             0.0)
+        else:
+            p_sc = jnp.zeros((1, Lp))
+            c_sc = jnp.ones((1, Lp))
+            n_sc = jnp.zeros((1, Lp))
+        ssum = p_sc + c_sc + n_sc
+        p_sc, c_sc, n_sc = p_sc / ssum, c_sc / ssum, n_sc / ssum
+        fsig = c_sc * gather_l(sig, curr_l)
+        fsig += jnp.where(prev_exist, p_sc * gather_l(sig, prev_l), 0.0)
+        fsig += jnp.where(next_exist, n_sc * gather_l(sig, next_l), 0.0)
+        blend = h_exists & (micro_row > 0)
+        if diff:
+            sg_tot = sg_tot + jax.lax.stop_gradient(
+                jnp.sum(fsig * blend.astype(jnp.float32)))
+            sg_cnt = sg_cnt + jnp.sum(blend.astype(jnp.float32))
+            c_sig = 32.0 / jnp.maximum(
+                jnp.abs(sg_tot / jnp.maximum(sg_cnt, 1.0)), 1e-6)
+            fs = soft(fsig - 0.5, c_sig)
+            pd = pd_g * fs + red_pd * (1.0 - fs)
+            sd = sd_g * fs
+        else:
+            green = fsig >= 0.5
+            pd = jnp.where(green, pd_g, red_pd)
+            sd = jnp.where(green, sd_g, 0.0)
+        pd = jnp.where(blend, pd, pd_g)
+        sd = jnp.where(blend, sd, sd_g)
+
+        # ---- godunov on macro rows
+        br_y = arz.compute_y(br_r, br_u, u_max)
+        r = jnp.where(cn["cmask"] > 0, r, br_r)
+        y = jnp.where(cn["cmask"] > 0, y, br_y)
+        u = arz.compute_u(r, y, u_max)
+        bl_y = arz.compute_y(bl_r, bl_u, u_max)
+        rl = jnp.concatenate([bl_r, r], axis=0)
+        yl = jnp.concatenate([bl_y, y], axis=0)
+        ul = jnp.concatenate([bl_u, u], axis=0)
+        rr_ = jnp.concatenate([r, br_r], axis=0)
+        ur_ = jnp.concatenate([u, br_u], axis=0)
+        sol = arz.riemann_solve(rl, yl, ul, rr_, ur_, u_max)
+        fr = sol.r0 * sol.u0
+        fy = sol.y0 * sol.u0
+        new_r = jnp.where(cn["cmask"] > 0, r + (fr[:-1] - fr[1:]) * cn["coef"],
+                          r)
+        new_y = jnp.where(cn["cmask"] > 0, y + (fy[:-1] - fy[1:]) * cn["coef"],
+                          y)
+        r, y = new_r, new_y
+
+        # ---- micro IDM step (vehicle axis 0, like the micro kernel)
+        lead_pos = jnp.concatenate([pos[1:], jnp.zeros((1, Lp))], axis=0)
+        lead_vel = jnp.concatenate([vel[1:], jnp.zeros((1, Lp))], axis=0)
+        lead_len = jnp.concatenate([p_len[1:], p_len[:1]], axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0)
+        active = rows < count
+        is_head = rows == (count - 1)
+        gap = jnp.abs(lead_pos - pos) - (lead_len + p_len) * 0.5
+        dv = vel - lead_vel
+        gap = jnp.where(is_head, pd, gap)
+        dv = jnp.where(is_head, sd, dv)
+        coll = gap < 0.0
+        gap = jnp.maximum(jnp.where(coll, 0.0, gap), idm.POSITION_DELTA_EPS)
+        dv = jnp.where(coll, 0.0, dv)
+        res = idm.idm_acceleration(p_amax, p_apref, vel, p_vt, gap, dv, p_ms,
+                                   p_tp, dt)
+        acc = jnp.where(active, res.acceleration, 0.0)
+        pos = jnp.where(active, pos + dt * vel, pos)
+        vel = jnp.where(active, vel + dt * acc, vel)
+
+        # ---- conversion -------------------------------------------------
+        u = arz.compute_u(r, y, u_max)
+        r_last = jnp.sum(r * cn["last_pick"], axis=0, keepdims=True)
+        u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
+        mn_c = jnp.clip(mnext_t, 0, Lp - 1)
+        macro_src = (cn["is_macro"] > 0) & (mnext_t >= 0)
+        next_is_micro = macro_src & (gather_l(cn["is_macro"], mnext_t) < 0.5)
+        inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
+        slot_oh = ((cn["next_k"] == mnext_t) &
+                   (cn["next_k"] >= 0)).astype(jnp.float32)  # [K, Lp]
+        # first matching slot only (ids unique per lane's list)
+        cap = cap + slot_oh * inc
+        cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
+
+        count_row = count.astype(jnp.float32)
+        dest_count = gather_l(count_row, mnext_t)
+        free_n = jnp.where(dest_count > 0.5,
+                           gather_l(pos[:1], mnext_t) -
+                           0.5 * gather_l(p_len[:1], mnext_t),
+                           gather_l(cn["length"], mnext_t))
+        want_emit = (next_is_micro &
+                     (jax.lax.stop_gradient(cap_val) >= veh_len) &
+                     (free_n >= veh_len) & (dest_count < V))
+
+        # head exits (recompute head info after IDM step)
+        ohv_h = head_oh(count)
+        hv_pos = pick_v(pos, ohv_h)
+        hv_vel = pick_v(vel, ohv_h)
+        hv_len = pick_v(p_len, ohv_h)
+        hv_a = pick_v(av, ohv_h)
+        route_h = pick_route(route, ohv_h)
+        ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
+        h_exists = count > 0
+        hnext = pick_r(route_h, ridx_h + 1)
+        past_end = h_exists & (hv_pos >= cn["length"])
+        hn_macro = (hnext >= 0) & (gather_l(cn["is_macro"], hnext) > 0.5)
+        hn_micro = (hnext >= 0) & ~hn_macro
+        exit_none = past_end & (hnext < 0)
+        want_tr = past_end & hn_micro & (gather_l(count_row, hnext) < V)
+        want_dep = h_exists & hn_macro & (hv_pos > cn["length"] + hv_len)
+
+        # arbitration over each dest's predecessor list
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+        best = jnp.full((1, Lp), Lp, jnp.int32)
+        dep_best = jnp.full((1, Lp), Lp, jnp.int32)
+        for k in range(K):
+            pk = cn["prev_k"][k: k + 1]  # [1, Lp]
+            ok = pk >= 0
+            # the candidate p must want-emit AND target THIS lane
+            tgt = gather_l_int(mnext_t, pk, fill=-2)
+            c_emit = ok & (gather_l(want_emit.astype(jnp.float32), pk) >
+                           0.5) & (tgt == lane_ids)
+            tgt_tr = gather_l_int(jnp.where(want_tr, hnext, -2), pk, fill=-2)
+            c_tr = ok & (tgt_tr == lane_ids)
+            cand = jnp.where(c_emit | c_tr, pk, Lp)
+            best = jnp.minimum(best, cand)
+            tgt_dep = gather_l_int(jnp.where(want_dep, hnext, -2), pk,
+                                   fill=-2)
+            cand_d = jnp.where(ok & (tgt_dep == lane_ids), pk, Lp)
+            dep_best = jnp.minimum(dep_best, cand_d)
+
+        emit_win = want_emit & (gather_l_int(best, mn_c, fill=Lp) == lane_ids)
+        tr_win = want_tr & (gather_l_int(best, jnp.clip(hnext, 0, Lp - 1),
+                                         fill=Lp) == lane_ids)
+        dep_win = want_dep & (gather_l_int(dep_best,
+                                           jnp.clip(hnext, 0, Lp - 1),
+                                           fill=Lp) == lane_ids)
+
+        # removals
+        remove = exit_none | dep_win | tr_win
+        count = count - remove.astype(jnp.int32)
+        # capacitor decrement (detached), only the routed slot
+        cap_dec = jnp.where(emit_win,
+                            jax.lax.stop_gradient(cap_val - veh_len),
+                            cap_val)
+        cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
+
+        # inserts
+        has_ins = best < Lp
+        src = jnp.clip(best, 0, Lp - 1)
+        src_is_macro = gather_l(cn["is_macro"], src) > 0.5
+        is_emit_d = has_ins & src_is_macro
+        # source-head fields gathered at src (head rows are [1, Lp])
+        g_at_src = lambda row_: gather_l(row_, src)
+        new_pos_d = jnp.where(is_emit_d, 0.0,
+                              g_at_src(hv_pos) - gather_l(cn["length"], src))
+        new_vel_d = jnp.where(is_emit_d, g_at_src(u_last), g_at_src(hv_vel))
+        new_a_d = jnp.where(is_emit_d, veh_len, g_at_src(hv_a))
+        newp = {}
+        for name, arrp in (("accel_max", p_amax), ("accel_pref", p_apref),
+                           ("target_speed", p_vt), ("min_space", p_ms),
+                           ("time_pref", p_tp), ("length", p_len)):
+            src_head = g_at_src(pick_v(arrp, head_oh(count + remove.astype(
+                jnp.int32))))
+            newp[name] = jnp.where(is_emit_d, dflt[name], src_head)
+        # route: emission pops dest pool; transfer carries src head route
+        ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
+                (cursor % P)[None]).astype(jnp.float32))
+        pool_route = jnp.sum(inj_routes.astype(jnp.float32) * ohc,
+                             axis=0)  # [R, Lp]
+        src_route = jnp.dot(route_h.astype(jnp.float32), oh_l(src),
+                            preferred_element_type=jnp.float32)  # [R, Lp]
+        new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
+            jnp.int32)
+        new_ridx_d = jnp.where(
+            is_emit_d, 0,
+            gather_l_int(ridx_h, src) + 1).astype(jnp.int32)
+
+        hm = has_ins
+        pos = tail_insert(pos, new_pos_d[0], hm)
+        vel = tail_insert(vel, new_vel_d[0], hm)
+        av = tail_insert(av, new_a_d[0], hm)
+        p_amax = tail_insert(p_amax, newp["accel_max"][0], hm)
+        p_apref = tail_insert(p_apref, newp["accel_pref"][0], hm)
+        p_vt = tail_insert(p_vt, newp["target_speed"][0], hm)
+        p_ms = tail_insert(p_ms, newp["min_space"][0], hm)
+        p_tp = tail_insert(p_tp, newp["time_pref"][0], hm)
+        p_len = tail_insert(p_len, newp["length"][0], hm)
+        route = jnp.where(hm[None], jnp.concatenate(
+            [new_route_d[None], route[:-1]], axis=0), route)
+        ridx = tail_insert(ridx, new_ridx_d[0], hm)
+        count = count + hm.astype(jnp.int32)
+        cursor = cursor + is_emit_d.astype(jnp.int32)
+
+        # micro -> macro deposits
+        dep_has = dep_best < Lp
+        sdep = jnp.clip(dep_best, 0, Lp - 1)
+        v_head = gather_l(hv_pos, sdep) - gather_l(cn["length"], sdep)
+        v_tail = v_head - gather_l(hv_len, sdep)
+        cells = jax.lax.broadcasted_iota(jnp.float32, (Cp, Lp), 0)
+        c_tail = cells * cn["cell_len"]
+        c_head = (cells + 1.0) * cn["cell_len"]
+        ov = ((c_head > v_tail) & (c_tail < v_head) & (cn["cmask"] > 0) &
+              dep_has & (cn["cell_len"] > v_tail))
+        max_head = jnp.maximum(c_head, v_head)
+        min_tail = jnp.minimum(c_tail, v_tail)
+        overlap = cn["cell_len"] + gather_l(hv_len, sdep) - (max_head -
+                                                             min_tail)
+        add_r = (gather_l(hv_a, sdep) /
+                 jax.lax.stop_gradient(gather_l(hv_len, sdep)) *
+                 (overlap / cn["cell_len"]))
+        n_r = r + add_r
+        n_r = n_r - jax.lax.stop_gradient(n_r - jnp.clip(n_r, 1e-5,
+                                                         1.0 - 1e-5))
+        dep_u = gather_l(hv_vel, sdep)
+        r = jnp.where(ov, n_r, r)
+        y = jnp.where(ov, arz.compute_y(n_r, dep_u, u_max), y)
+
+        # ---- queue reward
+        u_cells = arz.compute_u(r, y, u_max)
+        ss_tot = ss_tot + jax.lax.stop_gradient(
+            jnp.sum((static_speed - u_cells) * cn["cmask"]))
+        ss_cnt = ss_cnt + jnp.sum(cn["cmask"])
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0)
+        veh_m = ((rows < count) & (micro_row > 0)).astype(jnp.float32)
+        ss_tot = ss_tot + jax.lax.stop_gradient(
+            jnp.sum((static_speed - vel) * veh_m))
+        ss_cnt = ss_cnt + jnp.sum(veh_m)
+        if diff:
+            c_st = 16.0 / jnp.maximum(
+                jnp.abs(ss_tot / jnp.maximum(ss_cnt, 1.0)), 1e-6)
+            stat_c = soft(static_speed - u_cells, c_st)
+            stat_v = soft(static_speed - vel, c_st)
+        else:
+            stat_c = (u_cells < static_speed).astype(jnp.float32)
+            stat_v = (vel < static_speed).astype(jnp.float32)
+        q_macro = jnp.sum(stat_c * (r * cn["cell_len"] / veh_len) *
+                          cn["cmask"], axis=0, keepdims=True)
+        q_micro = jnp.sum(stat_v * veh_m, axis=0, keepdims=True)
+        q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
+        queue = jnp.sum(q_lane * q_lane * cn["lane_mask"]) * dt
+
+        carry = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
+                 p_len, count, route, ridx, cap, inj_left, cursor, ss_tot,
+                 ss_cnt, sg_tot, sg_cnt)
+        return carry, queue
+
+    # =====================================================================
+    def kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
+               inj_ref, *rest):
+        cn = {k: ref[:] for k, ref in zip(const_names,
+                                          rest[: len(const_names)])}
+        qsum_ref, queues_ref = rest[len(const_names):]
+        action2d = action_ref[:]
+        inj_routes = inj_ref[:]
+
+        zf = lambda *s: jnp.zeros(s, jnp.float32)
+        zi = lambda *s: jnp.zeros(s, jnp.int32)
+        inj_left0 = jnp.where((cn["has_prev"] == 0) & (cn["is_macro"] < 0.5),
+                              P, 0).astype(jnp.int32)
+        carry0 = (zf(Cp, Lp), zf(Cp, Lp), zf(Vp, Lp), zf(Vp, Lp), zf(Vp, Lp),
+                  jnp.full((Vp, Lp), dflt["accel_max"]),
+                  jnp.full((Vp, Lp), dflt["accel_pref"]),
+                  jnp.full((Vp, Lp), dflt["target_speed"]),
+                  jnp.full((Vp, Lp), dflt["min_space"]),
+                  jnp.full((Vp, Lp), dflt["time_pref"]),
+                  jnp.full((Vp, Lp), dflt["length"]),
+                  zi(1, Lp), jnp.full((Vp, R, Lp), -1, jnp.int32),
+                  zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp),
+                  jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+
+        def body(t, state):
+            carry, qsum = state
+            carry, queue = step(carry, t, action2d, sched_ref[t],
+                                mnext_ref[t], mprev_ref[t], rand_ref[t],
+                                inj_routes, cn)
+            queues_ref[t] = queue.reshape(1, 1)
+            return (carry, qsum + queue)
+
+        _, qsum = jax.lax.fori_loop(0, T, body, (carry0, jnp.zeros(())))
+        qsum_ref[:] = qsum.reshape(1, 1)
+
+    def fn(action2d, schedule, mnext, mprev, rand, inj_routes):
+        action_p = jnp.zeros((NPp, NIp), jnp.float32).at[
+            :n_phases, :n_inter].set(jnp.asarray(action2d))
+        pad_t = lambda x, fill: jnp.pad(
+            jnp.asarray(x)[:, None, :], ((0, 0), (0, 0), (0, Lp - L)),
+            constant_values=fill)
+        inj_p = jnp.pad(
+            jnp.transpose(jnp.asarray(inj_routes, jnp.int32), (1, 2, 0)),
+            ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)  # [P, R, Lp]
+        qsum, queues = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((T, 1, 1), jnp.float32)),
+            interpret=interpret,
+        )(action_p, pad_t(schedule.astype(jnp.float32), 0.0),
+          pad_t(mnext.astype(jnp.int32), -1),
+          pad_t(mprev.astype(jnp.int32), -1),
+          pad_t(rand.astype(jnp.float32), 2.0), inj_p,
+          *(consts[k] for k in const_names))
+        return -qsum[0, 0], queues[:, 0, 0]
+
+    return fn

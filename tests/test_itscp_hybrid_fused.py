@@ -1,0 +1,50 @@
+"""Hybrid fused-episode forward kernel vs the scan-based env (interpret).
+
+Drives both on identical pre-drawn randomness; rewards and per-step queue
+curves must match on a hybrid scene with live injection, emission, transfer
+and absorption events.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhts.apps.control.itscp.env import ItscpEnv
+from dhts.apps.control.itscp.problem import problem_1
+from dhts.ops.pallas.itscp_hybrid_episode import make_fused_itscp_episode
+
+CFG = dict(num_intersection=2, num_lane=1, lane_length=10.0,
+           speed_limit=20.0, cell_length=5.0, policy_length=6,
+           signal_length=2, simulation_frequency=10, random_seed=3,
+           max_num_micro_vehicle_per_lane=4, mode="hybrid")
+
+
+@pytest.mark.parametrize("differentiable", [False, True])
+def test_hybrid_fused_forward_matches_scan(differentiable):
+    env = ItscpEnv(config=CFG, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    fused = make_fused_itscp_episode(env.spec, env.meta, env.config, V, R, P,
+                                     differentiable=differentiable,
+                                     interpret=True)
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))  # same draw as env.episode
+    n_phases = CFG["policy_length"] // CFG["signal_length"]
+
+    for a in (0.25, 0.7):
+        action = jnp.full(env.action_size(), a)
+        ref = env.episode(action, differentiable, key)
+        reward, queues = fused(action.reshape(n_phases, -1),
+                               env.data.schedule, env.data.mroute_next,
+                               env.data.mroute_prev, rand,
+                               env.data.inj_routes)
+        assert np.isfinite(float(reward))
+        assert float(reward) == pytest.approx(float(ref.reward), rel=2e-3,
+                                              abs=2e-3), (a, differentiable)
+        np.testing.assert_allclose(np.asarray(queues),
+                                   np.asarray(ref.queue_per_step), rtol=5e-3,
+                                   atol=1e-4)
