@@ -502,7 +502,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         sdep = jnp.clip(dep_best, 0, Lp - 1)
         v_head = gather_l(hv_pos, sdep) - gather_l(cn["length"], sdep)
         v_tail = v_head - gather_l(hv_len, sdep)
-        cells = jax.lax.broadcasted_iota(jnp.float32, (Cp, Lp), 0)
+        # Mosaic requires integer iota; cast after
+        cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, Lp), 0).astype(
+            jnp.float32)
         c_tail = cells * cn["cell_len"]
         c_head = (cells + 1.0) * cn["cell_len"]
         ov = ((c_head > v_tail) & (c_tail < v_head) & (cn["cmask"] > 0) &
