@@ -91,6 +91,9 @@ class EpisodeResult(NamedTuple):
     absorbed: jax.Array
     injected: jax.Array
     max_wave_speed: jax.Array
+    # i32[T, 3] per-step (injected, emitted, absorbed) counts; None on
+    # paths that don't collect them. Event-level parity diagnostics.
+    events_per_step: jax.Array | None = None
 
 
 def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
@@ -350,9 +353,14 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
                                emitted=jnp.sum(emitted),
                                absorbed=jnp.sum(absorbed),
                                injected=jnp.sum(n_inj),
-                               max_wave_speed=jnp.max(max_wave))
+                               max_wave_speed=jnp.max(max_wave),
+                               events_per_step=jnp.stack(
+                                   [n_inj, emitted, absorbed], axis=1))
         return (result, rec) if record else result
 
+    # the raw per-step function, exposed for step-level differential testing
+    # against the fused whole-episode kernels
+    episode.boundary_and_step = boundary_and_step
     return episode
 
 

@@ -125,7 +125,8 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
         invalid (< 0) indices produce 0."""
         oh = (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
               idx_row).astype(jnp.float32)  # column l = one-hot of idx[l]
-        return jnp.dot(values_row, oh, preferred_element_type=jnp.float32)
+        return jnp.dot(values_row, oh, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
     def step(r, y, rms_tot, rms_cnt, t, action2d, sched_t, mnext_t, mprev_t,
              cn):
@@ -136,7 +137,8 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
                  phase).astype(jnp.float32)
         a_row = jnp.sum(action2d * ph_oh, axis=0, keepdims=True)  # [1, NIp]
         a_lane = jnp.dot(a_row, cn["inter_pick"],
-                         preferred_element_type=jnp.float32)  # [1, Lp]
+                         preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [1, Lp]
         progress = jnp.minimum(
             (t % nsf).astype(jnp.float32) / nsf, 1.0)
         gate = jnp.where(cn["is_we"] > 0, soft(a_lane - progress, 32.0),

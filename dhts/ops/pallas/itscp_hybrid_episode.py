@@ -1,4 +1,4 @@
-"""Whole-episode fused Pallas kernel for ITSCP hybrid/micro scenes — forward.
+"""Whole-episode fused Pallas kernel for ITSCP hybrid/micro scenes, fwd+bwd.
 
 Generalizes :mod:`dhts.ops.pallas.itscp_episode` to scenes with micro lanes:
 the vehicle containers live in VMEM as ``[V, Lp]`` rows (slot v behind slot
@@ -9,15 +9,22 @@ transfer, micro→macro mass deposits, exits — is expressed with the same
 one-hot-matmul gather idiom (dynamic vector gathers do not lower on Pallas
 TPU).
 
-FORWARD ONLY in round 1: it accelerates evaluation / gradient-free
-optimization (CMA-ES over actions) and pins down the on-chip step for the
-round-2 backward, whose design (reversible integer container state via
-per-step event descriptors) is recorded in CLAUDE.md. Training keeps the
-scan path.
+The full per-step carry (~0.7 MB on the flagship scene, dominated by the
+``[V, R, Lp]`` route container) is far too big to keep T copies of in VMEM,
+so unlike the macro kernel this one is **grid-streamed**: the forward runs
+with ``grid=(T,)``, carries simulation state across grid steps in VMEM
+scratch, and emits each step's carry as an HBM-streamed residual block; the
+backward runs the grid in reverse, streams each step's carry back in, and
+applies one in-kernel ``jax.vjp`` of the step per grid iteration with the
+float cotangents (state grads) held in scratch and the action gradient
+accumulated in a revisited output block. Residual HBM traffic is a few
+hundred MB per episode — microseconds at HBM bandwidth — while launch count
+drops from ~100 XLA ops x T to 2 kernels.
 
 Step semantics mirror ``dhts/apps/control/itscp/env.py::boundary_and_step``
 exactly (same formulas, same RMS statistics, same arbitration); the parity
-test drives both on identical pre-drawn randomness.
+tests drive both on identical pre-drawn randomness and compare action
+gradients.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from dhts.ops import arz, idm
 
@@ -38,14 +46,47 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def leader_window(is_macro, routes) -> int:
+    """Tight leader-search window for :func:`make_fused_itscp_episode`.
+
+    The route-window walk terminates as soon as it hits a macro lane, the
+    route end, or an occupied micro lane, so it only ever needs to look
+    ``max consecutive micro-lane run + 1`` entries ahead — on ITSCP grids
+    that is ~4, not MAX_ROUTE_LENGTH-1 = 31. ``routes``: any int array whose
+    last axis is route entries (lane ids, -1 padded)."""
+    is_macro = np.asarray(is_macro).astype(bool)
+    entries = np.asarray(routes).reshape(-1, np.asarray(routes).shape[-1])
+    micro = np.zeros(entries.shape, bool)
+    valid = entries >= 0
+    micro[valid] = ~is_macro[entries[valid]]
+    best = 0
+    for row in micro:
+        run = 0
+        for m in row:
+            run = run + 1 if m else 0
+            best = max(best, run)
+    return best + 1
+
+
 def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
-                             differentiable: bool = False, *,
+                             P_emit: int, differentiable: bool = False, *,
+                             window: int | None = None,
                              interpret: bool | None = None):
-    """Build the fused forward episode for a (possibly) hybrid scene.
+    """Build the fused differentiable episode for a (possibly) hybrid scene.
 
     Returns ``fn(action2d, schedule[T,L], mnext[T,L], mprev[T,L],
-    rand[T,L], inj_routes[L,P,R]) -> (reward, queues[T])`` starting from the
-    empty network state (the ITSCP initial condition).
+    rand[T,L], inj_routes[L,P,R], emit_routes[L,P_emit,R]) ->
+    (reward, queues[T])`` starting from the empty network state (the ITSCP
+    initial condition). Differentiable w.r.t. ``action2d`` (custom VJP; the
+    other inputs are event data). ``inj_routes`` is the boundary injection
+    waiting pool (env ``data.inj_routes``); ``emit_routes`` the emission
+    route pool popped by macro->micro conversion (``state.route_pool`` —
+    these are distinct pools in the scan model).
+
+    ``window``: static bound on the leader-search route window. Must be at
+    least ``leader_window(spec.is_macro, <all route pools>)`` — i.e. large
+    enough that the walk always terminates inside it; defaults to the safe
+    R-1.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -68,7 +109,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     static_speed = float(config["static_speed"])
     veh_len = float(config["vehicle_length"])
     diff = differentiable
-    W = R - 1
+    W = R - 1 if window is None else max(1, min(int(window), R - 1))
     K = int(np.asarray(spec.next_lanes).shape[1])
 
     # ---- static constants -------------------------------------------------
@@ -140,19 +181,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     def gather_l(values_row, idx_row):
         return jnp.dot(values_row, oh_l(idx_row),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
     def gather_l_int(values_row, idx_row, fill=0):
         g = jnp.dot(values_row.astype(jnp.float32), oh_l(idx_row),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         out = g.astype(jnp.int32)
         return jnp.where(idx_row >= 0, out, fill)
 
     def head_oh(count):
-        """[Vp, Lp] one-hot of the head slot (count-1); zero if count==0."""
-        h = count - 1
-        return ((jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) == h) &
-                (count > 0)).astype(jnp.float32)
+        """[Vp, Lp] one-hot of the head slot (count-1), falling back to
+        slot 0 when the lane is empty — the same clip the scan model uses
+        (``network.micro_head_info``). The fallback keeps masked-out head
+        fields at benign real values (e.g. nonzero vehicle length), so the
+        backward pass never multiplies a zero cotangent by an inf produced
+        in a dead branch."""
+        h = jnp.maximum(count - 1, 0)
+        return (jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) ==
+                h).astype(jnp.float32)
 
     def pick_v(arr, ohv):
         """Pick one row per lane from [Vp, Lp] via a [Vp, Lp] one-hot."""
@@ -179,7 +227,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     # =====================================================================
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
-             inj_routes, cn):
+             inj_routes, emit_routes, cn):
         (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
          count, route, ridx, cap, inj_left, cursor, ss_tot, ss_cnt, sg_tot,
          sg_cnt) = carry
@@ -193,7 +241,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                  phase).astype(jnp.float32)
         a_row = jnp.sum(action2d * ph_oh, axis=0, keepdims=True)
         a_lane = jnp.dot(a_row, cn["inter_pick"],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         progress = jnp.minimum((t % nsf).astype(jnp.float32) / nsf, 1.0)
         g_axis = jnp.where(cn["is_we"] > 0, gate(a_lane - progress, 32.0),
                            gate(progress - a_lane, 32.0))
@@ -469,12 +518,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 jnp.int32))))
             newp[name] = jnp.where(is_emit_d, dflt[name], src_head)
         # route: emission pops dest pool; transfer carries src head route
-        ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
-                (cursor % P)[None]).astype(jnp.float32))
-        pool_route = jnp.sum(inj_routes.astype(jnp.float32) * ohc,
+        ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
+                == (cursor % P_emit)[None]).astype(jnp.float32))
+        pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
                              axis=0)  # [R, Lp]
         src_route = jnp.dot(route_h.astype(jnp.float32), oh_l(src),
-                            preferred_element_type=jnp.float32)  # [R, Lp]
+                            preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [R, Lp]
         new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
             jnp.int32)
         new_ridx_d = jnp.where(
@@ -550,44 +600,226 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         carry = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
                  p_len, count, route, ridx, cap, inj_left, cursor, ss_tot,
                  ss_cnt, sg_tot, sg_cnt)
-        return carry, queue
+        f32sum = lambda m: jnp.sum(m.astype(jnp.float32))
+        ev = jnp.stack([f32sum(im), f32sum(is_emit_d),
+                        f32sum(exit_none | dep_win),
+                        f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
+                        f32sum(dep_win), f32sum(remove),
+                        jnp.zeros(())]).reshape(1, 8)
+        return carry, queue, ev
 
     # =====================================================================
-    def kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
-               inj_ref, *rest):
-        cn = {k: ref[:] for k, ref in zip(const_names,
-                                          rest[: len(const_names)])}
-        qsum_ref, queues_ref = rest[len(const_names):]
-        action2d = action_ref[:]
-        inj_routes = inj_ref[:]
+    # Carry layout for grid streaming. Order matches the ``step`` carry
+    # tuple, with the 4 trailing RMS scalars packed into one (1, 4) row.
+    TRAJ = (("r", (Cp, Lp), jnp.float32),
+            ("y", (Cp, Lp), jnp.float32),
+            ("pos", (Vp, Lp), jnp.float32),
+            ("vel", (Vp, Lp), jnp.float32),
+            ("av", (Vp, Lp), jnp.float32),
+            ("p_amax", (Vp, Lp), jnp.float32),
+            ("p_apref", (Vp, Lp), jnp.float32),
+            ("p_vt", (Vp, Lp), jnp.float32),
+            ("p_ms", (Vp, Lp), jnp.float32),
+            ("p_tp", (Vp, Lp), jnp.float32),
+            ("p_len", (Vp, Lp), jnp.float32),
+            ("count", (1, Lp), jnp.int32),
+            ("route", (Vp, R, Lp), jnp.int32),
+            ("ridx", (Vp, Lp), jnp.int32),
+            ("cap", (K, Lp), jnp.float32),
+            ("inj_left", (1, Lp), jnp.int32),
+            ("cursor", (1, Lp), jnp.int32),
+            ("rms", (1, 4), jnp.float32))
+    NT = len(TRAJ)
+    # differentiated comps (int containers carry no cotangent; their float
+    # uses are all through comparisons / one-hot construction)
+    FDIFF = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 14, 17)
+    n_const = len(const_names)
 
+    def pack(carry):
+        comps = list(carry[:17])
+        comps.append(jnp.stack(carry[17:]).reshape(1, 4))
+        return tuple(comps)
+
+    def unpack(comps):
+        rms = comps[17]
+        return tuple(comps[:17]) + (rms[0, 0], rms[0, 1], rms[0, 2],
+                                    rms[0, 3])
+
+    def carry0(cn):
         zf = lambda *s: jnp.zeros(s, jnp.float32)
         zi = lambda *s: jnp.zeros(s, jnp.int32)
         inj_left0 = jnp.where((cn["has_prev"] == 0) & (cn["is_macro"] < 0.5),
                               P, 0).astype(jnp.int32)
-        carry0 = (zf(Cp, Lp), zf(Cp, Lp), zf(Vp, Lp), zf(Vp, Lp), zf(Vp, Lp),
-                  jnp.full((Vp, Lp), dflt["accel_max"]),
-                  jnp.full((Vp, Lp), dflt["accel_pref"]),
-                  jnp.full((Vp, Lp), dflt["target_speed"]),
-                  jnp.full((Vp, Lp), dflt["min_space"]),
-                  jnp.full((Vp, Lp), dflt["time_pref"]),
-                  jnp.full((Vp, Lp), dflt["length"]),
-                  zi(1, Lp), jnp.full((Vp, R, Lp), -1, jnp.int32),
-                  zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp),
-                  jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        return (zf(Cp, Lp), zf(Cp, Lp), zf(Vp, Lp), zf(Vp, Lp), zf(Vp, Lp),
+                jnp.full((Vp, Lp), dflt["accel_max"]),
+                jnp.full((Vp, Lp), dflt["accel_pref"]),
+                jnp.full((Vp, Lp), dflt["target_speed"]),
+                jnp.full((Vp, Lp), dflt["min_space"]),
+                jnp.full((Vp, Lp), dflt["time_pref"]),
+                jnp.full((Vp, Lp), dflt["length"]),
+                zi(1, Lp), jnp.full((Vp, R, Lp), -1, jnp.int32),
+                zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp),
+                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
 
-        def body(t, state):
-            carry, qsum = state
-            carry, queue = step(carry, t, action2d, sched_ref[t],
-                                mnext_ref[t], mprev_ref[t], rand_ref[t],
-                                inj_routes, cn)
-            queues_ref[t] = queue.reshape(1, 1)
-            return (carry, qsum + queue)
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
-        _, qsum = jax.lax.fori_loop(0, T, body, (carry0, jnp.zeros(())))
-        qsum_ref[:] = qsum.reshape(1, 1)
+    def t_spec(shape):  # per-step block, forward order
+        return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape))
 
-    def fn(action2d, schedule, mnext, mprev, rand, inj_routes):
+    def rev_spec(shape):  # per-step block, reverse order
+        return pl.BlockSpec((1,) + shape,
+                            lambda i: (T - 1 - i,) + (0,) * len(shape))
+
+    seq_params = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+    # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
+    def make_fwd_kernel(save_traj):
+        def fwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
+                       inj_ref, pool_ref, *rest):
+            cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
+            rest = rest[n_const:]
+            qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
+            ntr = NT if save_traj else 0
+            traj_refs = rest[3: 3 + ntr]
+            scratch = rest[3 + ntr:]
+            t = pl.program_id(0)
+
+            @pl.when(t == 0)
+            def _init():
+                for ref, val in zip(scratch, pack(carry0(cn))):
+                    ref[:] = val
+                qsum_ref[:] = jnp.zeros((1, 1), jnp.float32)
+
+            comps = [ref[:] for ref in scratch]
+            if save_traj:
+                for tref, val in zip(traj_refs, comps):
+                    tref[:] = val[None]
+            new_carry, queue, ev = step(unpack(comps), t, action_ref[:],
+                                        sched_ref[0], mnext_ref[0],
+                                        mprev_ref[0], rand_ref[0],
+                                        inj_ref[:], pool_ref[:], cn)
+            for ref, val in zip(scratch, pack(new_carry)):
+                ref[:] = val
+            queues_ref[:] = queue.reshape(1, 1, 1)
+            events_ref[:] = ev[None]
+            qsum_ref[:] = qsum_ref[:] + queue
+
+        return fwd_kernel
+
+    def run_forward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+                    pool_p, save_traj):
+        out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((T, 1, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((T, 1, 8), jnp.float32)]
+        out_specs = [full_spec((1, 1)), t_spec((1, 1)), t_spec((1, 8))]
+        if save_traj:
+            for _, shp, dt_ in TRAJ:
+                out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
+                out_specs.append(t_spec(shp))
+        return pl.pallas_call(
+            make_fwd_kernel(save_traj),
+            grid=(T,),
+            in_specs=[full_spec((NPp, NIp)), t_spec((1, Lp)),
+                      t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp)),
+                      full_spec((P, R, Lp)), full_spec((P_emit, R, Lp))] +
+                     [full_spec(consts[k].shape) for k in const_names],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM(shp, dt_) for _, shp, dt_ in TRAJ],
+            compiler_params=seq_params,
+            interpret=interpret,
+        )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
+          *(consts[k] for k in const_names))
+
+    # ---- backward kernel: reverse grid, one jax.vjp of step per iter ------
+    def bwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
+                   inj_ref, pool_ref, g_qsum_ref, g_queues_ref, *rest):
+        cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
+        rest = rest[n_const:]
+        traj_refs = rest[:NT]
+        g_action_ref = rest[NT]
+        gscratch = rest[NT + 1:]
+        i = pl.program_id(0)
+        t = T - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in gscratch:
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
+            g_action_ref[:] = jnp.zeros((NPp, NIp), jnp.float32)
+
+        comps = [ref[0] for ref in traj_refs]
+        gq = g_qsum_ref[0, 0] + g_queues_ref[0, 0, 0]
+
+        def fwd_t(floats, action2d):
+            full = list(comps)
+            for j, v in zip(FDIFF, floats):
+                full[j] = v
+            new_carry, queue, _ = step(unpack(full), t, action2d,
+                                       sched_ref[0], mnext_ref[0],
+                                       mprev_ref[0], rand_ref[0],
+                                       inj_ref[:], pool_ref[:], cn)
+            out = pack(new_carry)
+            return tuple(out[j] for j in FDIFF), queue
+
+        floats = tuple(comps[j] for j in FDIFF)
+        _, vjp = jax.vjp(fwd_t, floats, action_ref[:])
+        d_floats, d_action = vjp((tuple(ref[:] for ref in gscratch), gq))
+        for ref, val in zip(gscratch, d_floats):
+            ref[:] = val
+        g_action_ref[:] = g_action_ref[:] + d_action
+
+    def run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+                     pool_p, traj, g_qsum, g_queues):
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(T,),
+            in_specs=[full_spec((NPp, NIp)), rev_spec((1, Lp)),
+                      rev_spec((1, Lp)), rev_spec((1, Lp)), rev_spec((1, Lp)),
+                      full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
+                      full_spec((1, 1)), rev_spec((1, 1))] +
+                     [full_spec(consts[k].shape) for k in const_names] +
+                     [rev_spec(shp) for _, shp, _ in TRAJ],
+            out_specs=full_spec((NPp, NIp)),
+            out_shape=jax.ShapeDtypeStruct((NPp, NIp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM(TRAJ[j][1], TRAJ[j][2])
+                            for j in FDIFF],
+            compiler_params=seq_params,
+            interpret=interpret,
+        )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
+          g_qsum, g_queues, *(consts[k] for k in const_names), *traj)
+
+    # ---- custom-VJP episode over padded arrays -----------------------------
+    @jax.custom_vjp
+    def episode(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+                pool_p):
+        qsum, queues, events = run_forward(action_p, sched_p, mnext_p,
+                                           mprev_p, rand_p, inj_p, pool_p,
+                                           save_traj=False)
+        return qsum[0, 0], queues[:, 0, 0], events[:, 0, :]
+
+    def ep_fwd(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+               pool_p):
+        qsum, queues, events, *traj = run_forward(action_p, sched_p, mnext_p,
+                                                  mprev_p, rand_p, inj_p,
+                                                  pool_p, save_traj=True)
+        return (qsum[0, 0], queues[:, 0, 0], events[:, 0, :]), (
+            action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p, traj)
+
+    def ep_bwd(res, cots):
+        (action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
+         traj) = res
+        g_qsum, g_queues, _ = cots  # event counts carry no gradient
+        ga = run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+                          pool_p, traj, jnp.reshape(g_qsum, (1, 1)),
+                          jnp.reshape(g_queues, (T, 1, 1)))
+        return ga, None, None, None, None, None, None
+
+    episode.defvjp(ep_fwd, ep_bwd)
+
+    def fn(action2d, schedule, mnext, mprev, rand, inj_routes,
+           emit_routes, with_events: bool = False):
         action_p = jnp.zeros((NPp, NIp), jnp.float32).at[
             :n_phases, :n_inter].set(jnp.asarray(action2d))
         pad_t = lambda x, fill: jnp.pad(
@@ -596,16 +828,47 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         inj_p = jnp.pad(
             jnp.transpose(jnp.asarray(inj_routes, jnp.int32), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)  # [P, R, Lp]
-        qsum, queues = pl.pallas_call(
-            kernel,
-            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((T, 1, 1), jnp.float32)),
-            interpret=interpret,
-        )(action_p, pad_t(schedule.astype(jnp.float32), 0.0),
-          pad_t(mnext.astype(jnp.int32), -1),
-          pad_t(mprev.astype(jnp.int32), -1),
-          pad_t(rand.astype(jnp.float32), 2.0), inj_p,
-          *(consts[k] for k in const_names))
-        return -qsum[0, 0], queues[:, 0, 0]
+        pool_p = jnp.pad(
+            jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
+            ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
+        qsum, queues, events = episode(
+            action_p, pad_t(schedule.astype(jnp.float32), 0.0),
+            pad_t(mnext.astype(jnp.int32), -1),
+            pad_t(mprev.astype(jnp.int32), -1),
+            pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p)
+        if with_events:
+            # [T, 8] per-step event counts: injected, emitted, absorbed,
+            # transferred, transfer wins, deposit wins, removals, pad
+            return -qsum, queues, events
+        return -qsum, queues
 
+    def debug_forward(action2d, schedule, mnext, mprev, rand, inj_routes,
+                      emit_routes):
+        """Run the residual-saving forward and return the whole per-step
+        carry trajectory as ``{name: [T, ...]}`` (padded shapes). Parity
+        debugging only."""
+        action_p = jnp.zeros((NPp, NIp), jnp.float32).at[
+            :n_phases, :n_inter].set(jnp.asarray(action2d))
+        pad_t = lambda x, fill: jnp.pad(
+            jnp.asarray(x)[:, None, :], ((0, 0), (0, 0), (0, Lp - L)),
+            constant_values=fill)
+        inj_p = jnp.pad(
+            jnp.transpose(jnp.asarray(inj_routes, jnp.int32), (1, 2, 0)),
+            ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
+        pool_p = jnp.pad(
+            jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
+            ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
+        outs = run_forward(action_p, pad_t(schedule.astype(jnp.float32), 0.0),
+                           pad_t(mnext.astype(jnp.int32), -1),
+                           pad_t(mprev.astype(jnp.int32), -1),
+                           pad_t(rand.astype(jnp.float32), 2.0), inj_p,
+                           pool_p, save_traj=True)
+        qsum, queues, events = outs[0], outs[1], outs[2]
+        traj = {name: arr for (name, _, _), arr in zip(TRAJ, outs[3:])}
+        traj["queues"] = queues[:, 0, 0]
+        traj["events"] = events[:, 0, :]
+        traj["qsum"] = qsum[0, 0]
+        return traj
+
+    fn.debug_forward = debug_forward
     return fn

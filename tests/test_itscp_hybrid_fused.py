@@ -27,8 +27,9 @@ def test_hybrid_fused_forward_matches_scan(differentiable):
     V = env.base_state.micro.position.shape[1]
     R = env.base_state.micro.route.shape[2]
     P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
     fused = make_fused_itscp_episode(env.spec, env.meta, env.config, V, R, P,
-                                     differentiable=differentiable,
+                                     P2, differentiable=differentiable,
                                      interpret=True)
     key = jax.random.PRNGKey(0)
     T, L = env.num_timestep, env.spec.num_lanes
@@ -41,10 +42,50 @@ def test_hybrid_fused_forward_matches_scan(differentiable):
         reward, queues = fused(action.reshape(n_phases, -1),
                                env.data.schedule, env.data.mroute_next,
                                env.data.mroute_prev, rand,
-                               env.data.inj_routes)
+                               env.data.inj_routes,
+                               env.base_state.route_pool)
         assert np.isfinite(float(reward))
         assert float(reward) == pytest.approx(float(ref.reward), rel=2e-3,
                                               abs=2e-3), (a, differentiable)
         np.testing.assert_allclose(np.asarray(queues),
                                    np.asarray(ref.queue_per_step), rtol=5e-3,
                                    atol=1e-4)
+
+
+def test_hybrid_fused_gradient_matches_scan():
+    """Action gradient through the streamed backward kernel vs jax.grad of
+    the scan-based env on the same pre-drawn randomness."""
+    env = ItscpEnv(config=CFG, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    from dhts.ops.pallas.itscp_hybrid_episode import leader_window
+    win = max(leader_window(env.spec.is_macro, env.data.inj_routes),
+              leader_window(env.spec.is_macro, env.base_state.route_pool))
+    fused = make_fused_itscp_episode(env.spec, env.meta, env.config, V, R, P,
+                                     P2, differentiable=True, window=win,
+                                     interpret=True)
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    n_phases = CFG["policy_length"] // CFG["signal_length"]
+    action = jnp.full(env.action_size(), 0.55)
+
+    g_ref = jax.grad(lambda a: env.episode(a, True, key).reward)(action)
+    g_fused = jax.grad(lambda a: fused(a.reshape(n_phases, -1),
+                                       env.data.schedule,
+                                       env.data.mroute_next,
+                                       env.data.mroute_prev, rand,
+                                       env.data.inj_routes,
+                                       env.base_state.route_pool)[0])(action)
+    g_ref = np.asarray(g_ref)
+    g_fused = np.asarray(g_fused)
+    assert np.all(np.isfinite(g_fused))
+    assert np.linalg.norm(g_fused) > 0
+    cos = float(np.dot(g_ref, g_fused) /
+                (np.linalg.norm(g_ref) * np.linalg.norm(g_fused)))
+    assert cos > 0.999, (cos, g_ref, g_fused)
+    np.testing.assert_allclose(g_fused, g_ref, rtol=2e-2,
+                               atol=2e-3 * np.abs(g_ref).max())
