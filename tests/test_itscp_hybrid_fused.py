@@ -89,3 +89,48 @@ def test_hybrid_fused_gradient_matches_scan():
     assert cos > 0.999, (cos, g_ref, g_fused)
     np.testing.assert_allclose(g_fused, g_ref, rtol=2e-2,
                                atol=2e-3 * np.abs(g_ref).max())
+
+
+@pytest.mark.parametrize("mode", ["hybrid", "micro"])
+def test_env_fused_episode_wiring(mode):
+    """config use_fused_episode routes hybrid/micro training episodes
+    through the fused kernel with the same randomness as the scan path."""
+    cfg = dict(CFG, mode=mode)
+    env_scan = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env_scan.reset()
+    env_fused = ItscpEnv(config=dict(cfg, use_fused_episode=True),
+                         schedule_fn=problem_1)
+    env_fused.reset()
+    # force interpret mode on CPU: the lazy factory reads the default
+    # backend, which conftest pins to cpu -> interpret=True automatically
+    key = jax.random.PRNGKey(7)
+    action = jnp.full(env_scan.action_size(), 0.6)
+    ref = env_scan.episode(action, True, key)
+    out = env_fused.episode(action, True, key)
+    assert float(out.reward) == pytest.approx(float(ref.reward), rel=2e-3,
+                                              abs=2e-3)
+    assert int(out.injected) == int(ref.injected)
+    assert int(out.emitted) == int(ref.emitted)
+    assert int(out.absorbed) == int(ref.absorbed)
+    g_ref = np.asarray(jax.grad(
+        lambda a: env_scan.episode(a, True, key).reward)(action))
+    g_fus = np.asarray(jax.grad(
+        lambda a: env_fused.episode(a, True, key).reward)(action))
+    assert np.all(np.isfinite(g_fus))
+    denom = np.linalg.norm(g_ref) * np.linalg.norm(g_fus)
+    if denom > 0:
+        assert float(g_ref @ g_fus) / denom > 0.999
+
+
+def test_env_fused_episode_vmap():
+    """The fused episode vmaps over (action, key) batches exactly (the
+    batched-scenario bench path)."""
+    cfg = dict(CFG, use_fused_episode=True)
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    loss = lambda a, k: -env.episode(a, True, k).reward
+    acts = jnp.stack([jnp.full(env.action_size(), v) for v in (0.3, 0.8)])
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    vm = jax.vmap(loss)(acts, keys)
+    seq = jnp.stack([loss(a, k) for a, k in zip(acts, keys)])
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(seq), rtol=1e-5)
