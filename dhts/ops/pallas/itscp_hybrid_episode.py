@@ -191,6 +191,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         out = g.astype(jnp.int32)
         return jnp.where(idx_row >= 0, out, fill)
 
+    def gather_rows(rows, idx_row):
+        """Gather many [*, Lp] rows at the SAME lane index in one MXU pass:
+        a [1, Lp] x [Lp, Lp] one-hot matmul wastes the systolic array's
+        rows, so every co-indexed gather is stacked into one [N, Lp] LHS."""
+        mat = jnp.concatenate(rows, axis=0)
+        return jnp.dot(mat, oh_l(idx_row),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
     def head_oh(count):
         """[Vp, Lp] one-hot of the head slot (count-1), falling back to
         slot 0 when the lane is empty — the same clip the scan model uses
@@ -284,25 +293,24 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         r_first = jnp.sum(r * cn["first_pick"], axis=0, keepdims=True)
         u_first = jnp.sum(u * cn["first_pick"], axis=0, keepdims=True)
         adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
-        adjp_macro = gather_l(cn["is_macro"], adjp) > 0.5
-        use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & adjp_macro
+        gp = gather_rows([cn["is_macro"], r_last, u_last], adjp)
+        use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & (gp[0:1] > 0.5)
         hp_b = cn["has_prev"] > 0
-        gl_r = jnp.where(hp_b,
-                         jnp.where(use_nb_l, gather_l(r_last, adjp), 0.0),
-                         incoming)
-        gl_u = jnp.where(hp_b,
-                         jnp.where(use_nb_l, gather_l(u_last, adjp), u_max),
+        gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0), incoming)
+        gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
                          arz.compute_u_eq(incoming, u_max))
+        # prev_sig follows mprev_t, which equals adjp only on single-prev
+        # lanes -> its own gather
         prev_sig = jnp.where(~hp_b, 1.0,
                              jnp.where(mprev_t < 0, 0.0,
                                        gather_l(sig, mprev_t)))
         bl_r = gl_r * prev_sig
         bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
         adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
-        adjn_macro = gather_l(cn["is_macro"], adjn) > 0.5
-        use_nb_r = (cn["num_next"] > 0) & (adjn >= 0) & adjn_macro
-        gr_r = jnp.where(use_nb_r, gather_l(r_first, adjn), 0.0)
-        gr_u = jnp.where(use_nb_r, gather_l(u_first, adjn), u_max)
+        gn = gather_rows([cn["is_macro"], r_first, u_first], adjn)
+        use_nb_r = (cn["num_next"] > 0) & (adjn >= 0) & (gn[0:1] > 0.5)
+        gr_r = jnp.where(use_nb_r, gn[1:2], 0.0)
+        gr_u = jnp.where(use_nb_r, gn[2:3], u_max)
         s_own = soft(sig - 0.5, 32.0) if diff else \
             (sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s_own + (1.0 - s_own)
@@ -328,21 +336,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             j = ridx_h + 1 + o
             wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
             exists = wl >= 0
-            w_macro = gather_l(cn["is_macro"], wl) > 0.5
-            w_count = gather_l(count_row, wl)
-            occupied = exists & ~w_macro & (w_count > 0.5)
+            gw = gather_rows([cn["is_macro"], count_row, pos[:1], vel[:1],
+                              p_len[:1], cn["length"]], wl)
+            w_macro = gw[0:1] > 0.5
+            occupied = exists & ~w_macro & (gw[1:2] > 0.5)
             term_default = ~done & (~exists | (exists & w_macro))
             term_leader = ~done & occupied
-            tail_pos = gather_l(pos[:1], wl)
-            tail_vel = gather_l(vel[:1], wl)
-            tail_len = gather_l(p_len[:1], wl)
+            tail_pos, tail_vel, tail_len = gw[2:3], gw[3:4], gw[4:5]
             new_pd = jnp.maximum(cur_delta + tail_pos - tail_len * 0.5, 0.0)
             pd_g = jnp.where(term_leader, new_pd, pd_g)
             sd_g = jnp.where(term_leader, hv_vel - tail_vel, sd_g)
             done = done | term_default | term_leader
-            cur_delta = jnp.where(~done,
-                                  cur_delta + gather_l(cn["length"], wl),
-                                  cur_delta)
+            cur_delta = jnp.where(~done, cur_delta + gw[5:6], cur_delta)
 
         # ---- micro signal blending (env boundary_and_step)
         red_pd = jnp.maximum(cn["length"] - hv_pos - hv_len * 0.5, 0.0)
@@ -362,9 +367,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             n_sc = jnp.zeros((1, Lp))
         ssum = p_sc + c_sc + n_sc
         p_sc, c_sc, n_sc = p_sc / ssum, c_sc / ssum, n_sc / ssum
-        fsig = c_sc * gather_l(sig, curr_l)
-        fsig += jnp.where(prev_exist, p_sc * gather_l(sig, prev_l), 0.0)
-        fsig += jnp.where(next_exist, n_sc * gather_l(sig, next_l), 0.0)
+        # one matmul for sig at 3 different indices: concat one-hot columns
+        oh3 = jnp.concatenate([oh_l(curr_l), oh_l(prev_l), oh_l(next_l)],
+                              axis=1)  # [Lp, 3*Lp]
+        sig3 = jnp.dot(sig, oh3, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        fsig = c_sc * sig3[:, :Lp]
+        fsig += jnp.where(prev_exist, p_sc * sig3[:, Lp:2 * Lp], 0.0)
+        fsig += jnp.where(next_exist, n_sc * sig3[:, 2 * Lp:], 0.0)
         blend = h_exists & (micro_row > 0)
         if diff:
             sg_tot = sg_tot + jax.lax.stop_gradient(
@@ -428,7 +438,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
         mn_c = jnp.clip(mnext_t, 0, Lp - 1)
         macro_src = (cn["is_macro"] > 0) & (mnext_t >= 0)
-        next_is_micro = macro_src & (gather_l(cn["is_macro"], mnext_t) < 0.5)
+        count_row = count.astype(jnp.float32)
+        gm = gather_rows([cn["is_macro"], count_row, pos[:1], p_len[:1],
+                          cn["length"]], mnext_t)
+        next_is_micro = macro_src & (gm[0:1] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
         slot_oh = ((cn["next_k"] == mnext_t) &
                    (cn["next_k"] >= 0)).astype(jnp.float32)  # [K, Lp]
@@ -436,12 +449,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cap = cap + slot_oh * inc
         cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
 
-        count_row = count.astype(jnp.float32)
-        dest_count = gather_l(count_row, mnext_t)
+        dest_count = gm[1:2]
         free_n = jnp.where(dest_count > 0.5,
-                           gather_l(pos[:1], mnext_t) -
-                           0.5 * gather_l(p_len[:1], mnext_t),
-                           gather_l(cn["length"], mnext_t))
+                           gm[2:3] - 0.5 * gm[3:4], gm[4:5])
         want_emit = (next_is_micro &
                      (jax.lax.stop_gradient(cap_val) >= veh_len) &
                      (free_n >= veh_len) & (dest_count < V))
@@ -457,38 +467,41 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         h_exists = count > 0
         hnext = pick_r(route_h, ridx_h + 1)
         past_end = h_exists & (hv_pos >= cn["length"])
-        hn_macro = (hnext >= 0) & (gather_l(cn["is_macro"], hnext) > 0.5)
+        gh = gather_rows([cn["is_macro"], count_row], hnext)
+        hn_macro = (hnext >= 0) & (gh[0:1] > 0.5)
         hn_micro = (hnext >= 0) & ~hn_macro
         exit_none = past_end & (hnext < 0)
-        want_tr = past_end & hn_micro & (gather_l(count_row, hnext) < V)
+        want_tr = past_end & hn_micro & (gh[1:2] < V)
         want_dep = h_exists & hn_macro & (hv_pos > cn["length"] + hv_len)
 
         # arbitration over each dest's predecessor list
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
         best = jnp.full((1, Lp), Lp, jnp.int32)
         dep_best = jnp.full((1, Lp), Lp, jnp.int32)
+        mnext_f = mnext_t.astype(jnp.float32)
+        tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
+        dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
+        we_f = want_emit.astype(jnp.float32)
         for k in range(K):
             pk = cn["prev_k"][k: k + 1]  # [1, Lp]
-            ok = pk >= 0
-            # the candidate p must want-emit AND target THIS lane
-            tgt = gather_l_int(mnext_t, pk, fill=-2)
-            c_emit = ok & (gather_l(want_emit.astype(jnp.float32), pk) >
-                           0.5) & (tgt == lane_ids)
-            tgt_tr = gather_l_int(jnp.where(want_tr, hnext, -2), pk, fill=-2)
-            c_tr = ok & (tgt_tr == lane_ids)
+            ok = pk >= 0  # every candidate test below is gated on ok, so
+            # the zeros a batched gather yields at invalid pk are harmless
+            gk = gather_rows([mnext_f, we_f, tr_tgt, dep_tgt], pk)
+            tgt = gk[0:1].astype(jnp.int32)
+            c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
+            c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
             cand = jnp.where(c_emit | c_tr, pk, Lp)
             best = jnp.minimum(best, cand)
-            tgt_dep = gather_l_int(jnp.where(want_dep, hnext, -2), pk,
-                                   fill=-2)
-            cand_d = jnp.where(ok & (tgt_dep == lane_ids), pk, Lp)
+            cand_d = jnp.where(ok & (gk[3:4].astype(jnp.int32) == lane_ids),
+                               pk, Lp)
             dep_best = jnp.minimum(dep_best, cand_d)
 
         emit_win = want_emit & (gather_l_int(best, mn_c, fill=Lp) == lane_ids)
-        tr_win = want_tr & (gather_l_int(best, jnp.clip(hnext, 0, Lp - 1),
-                                         fill=Lp) == lane_ids)
-        dep_win = want_dep & (gather_l_int(dep_best,
-                                           jnp.clip(hnext, 0, Lp - 1),
-                                           fill=Lp) == lane_ids)
+        hn_c = jnp.clip(hnext, 0, Lp - 1)
+        gwin = gather_rows([best.astype(jnp.float32),
+                            dep_best.astype(jnp.float32)], hn_c)
+        tr_win = want_tr & (gwin[0:1].astype(jnp.int32) == lane_ids)
+        dep_win = want_dep & (gwin[1:2].astype(jnp.int32) == lane_ids)
 
         # removals
         remove = exit_none | dep_win | tr_win
@@ -499,37 +512,36 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             cap_val)
         cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
 
-        # inserts
+        # inserts: ALL per-src fields (head state, 6 params at the pre-
+        # removal head slot, cursor, route rows) in ONE [12+R, Lp] matmul
         has_ins = best < Lp
         src = jnp.clip(best, 0, Lp - 1)
-        src_is_macro = gather_l(cn["is_macro"], src) > 0.5
+        oh_prev_head = head_oh(count + remove.astype(jnp.int32))
+        src_rows = [cn["is_macro"], hv_pos, cn["length"], u_last, hv_vel,
+                    hv_a, ridx_h.astype(jnp.float32)]
+        src_rows += [pick_v(arrp, oh_prev_head)
+                     for arrp in (p_amax, p_apref, p_vt, p_ms, p_tp, p_len)]
+        src_rows.append(route_h.astype(jnp.float32))  # [R, Lp]
+        gs = gather_rows(src_rows, src)
+        src_is_macro = gs[0:1] > 0.5
         is_emit_d = has_ins & src_is_macro
-        # source-head fields gathered at src (head rows are [1, Lp])
-        g_at_src = lambda row_: gather_l(row_, src)
-        new_pos_d = jnp.where(is_emit_d, 0.0,
-                              g_at_src(hv_pos) - gather_l(cn["length"], src))
-        new_vel_d = jnp.where(is_emit_d, g_at_src(u_last), g_at_src(hv_vel))
-        new_a_d = jnp.where(is_emit_d, veh_len, g_at_src(hv_a))
+        new_pos_d = jnp.where(is_emit_d, 0.0, gs[1:2] - gs[2:3])
+        new_vel_d = jnp.where(is_emit_d, gs[3:4], gs[4:5])
+        new_a_d = jnp.where(is_emit_d, veh_len, gs[5:6])
         newp = {}
-        for name, arrp in (("accel_max", p_amax), ("accel_pref", p_apref),
-                           ("target_speed", p_vt), ("min_space", p_ms),
-                           ("time_pref", p_tp), ("length", p_len)):
-            src_head = g_at_src(pick_v(arrp, head_oh(count + remove.astype(
-                jnp.int32))))
-            newp[name] = jnp.where(is_emit_d, dflt[name], src_head)
+        for i, name in enumerate(("accel_max", "accel_pref", "target_speed",
+                                  "min_space", "time_pref", "length")):
+            newp[name] = jnp.where(is_emit_d, dflt[name], gs[7 + i: 8 + i])
         # route: emission pops dest pool; transfer carries src head route
         ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
                 == (cursor % P_emit)[None]).astype(jnp.float32))
         pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
                              axis=0)  # [R, Lp]
-        src_route = jnp.dot(route_h.astype(jnp.float32), oh_l(src),
-                            preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # [R, Lp]
+        src_route = gs[13:]  # [R, Lp]
         new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
             jnp.int32)
         new_ridx_d = jnp.where(
-            is_emit_d, 0,
-            gather_l_int(ridx_h, src) + 1).astype(jnp.int32)
+            is_emit_d, 0, gs[6:7].astype(jnp.int32) + 1).astype(jnp.int32)
 
         hm = has_ins
         pos = tail_insert(pos, new_pos_d[0], hm)
@@ -550,8 +562,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # micro -> macro deposits
         dep_has = dep_best < Lp
         sdep = jnp.clip(dep_best, 0, Lp - 1)
-        v_head = gather_l(hv_pos, sdep) - gather_l(cn["length"], sdep)
-        v_tail = v_head - gather_l(hv_len, sdep)
+        gd = gather_rows([hv_pos, cn["length"], hv_len, hv_a, hv_vel], sdep)
+        v_head = gd[0:1] - gd[1:2]
+        v_tail = v_head - gd[2:3]
         # Mosaic requires integer iota; cast after
         cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, Lp), 0).astype(
             jnp.float32)
@@ -561,15 +574,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
               dep_has & (cn["cell_len"] > v_tail))
         max_head = jnp.maximum(c_head, v_head)
         min_tail = jnp.minimum(c_tail, v_tail)
-        overlap = cn["cell_len"] + gather_l(hv_len, sdep) - (max_head -
-                                                             min_tail)
-        add_r = (gather_l(hv_a, sdep) /
-                 jax.lax.stop_gradient(gather_l(hv_len, sdep)) *
+        overlap = cn["cell_len"] + gd[2:3] - (max_head - min_tail)
+        add_r = (gd[3:4] / jax.lax.stop_gradient(gd[2:3]) *
                  (overlap / cn["cell_len"]))
         n_r = r + add_r
         n_r = n_r - jax.lax.stop_gradient(n_r - jnp.clip(n_r, 1e-5,
                                                          1.0 - 1e-5))
-        dep_u = gather_l(hv_vel, sdep)
+        dep_u = gd[4:5]
         r = jnp.where(ov, n_r, r)
         y = jnp.where(ov, arz.compute_y(n_r, dep_u, u_max), y)
 
