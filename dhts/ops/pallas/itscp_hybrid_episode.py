@@ -641,9 +641,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             ("cursor", (1, Lp), jnp.int32),
             ("rms", (1, 4), jnp.float32))
     NT = len(TRAJ)
-    # differentiated comps (int containers carry no cotangent; their float
-    # uses are all through comparisons / one-hot construction)
-    FDIFF = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 14, 17)
+    # differentiated comps: r, y, pos, vel, av (the ancillary gradient
+    # carrier), cap (flux capacitor) and the rms row. Int containers carry
+    # no cotangent (their float uses are comparisons / one-hot
+    # construction), and the 6 IDM param arrays are action-independent —
+    # inserts write constants or copies of constants — so their cotangent
+    # chains terminate at constants and are elided from the backward.
+    FDIFF = (0, 1, 2, 3, 4, 14, 17)
     n_const = len(const_names)
 
     def pack(carry):
