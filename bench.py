@@ -31,7 +31,7 @@ def main():
                     help="tiny CPU run (CI); not a performance number")
     ap.add_argument("--batch", type=int, default=8,
                     help="scenario batch for the batched-throughput figure")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=10)
     args = ap.parse_args()
 
     if args.smoke:

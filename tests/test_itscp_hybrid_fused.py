@@ -134,3 +134,97 @@ def test_env_fused_episode_vmap():
     vm = jax.vmap(loss)(acts, keys)
     seq = jnp.stack([loss(a, k) for a, k in zip(acts, keys)])
     np.testing.assert_allclose(np.asarray(vm), np.asarray(seq), rtol=1e-5)
+
+
+def test_one_step_differential_vs_env_step():
+    """Every fused-kernel carry, fed through the env's own
+    boundary_and_step, must reproduce the kernel's next carry — the
+    step-level parity probe that localized the round-1 kernel bugs."""
+    from dhts.apps.control.itscp.env import _make_episode_fn
+    from dhts.models.vehicle import VehicleParams
+    from dhts.ops.pallas.itscp_hybrid_episode import leader_window
+    from dhts.utils import rms
+
+    env = ItscpEnv(config=CFG, schedule_fn=problem_1)
+    env.reset()
+    spec = env.spec
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    win = max(leader_window(spec.is_macro, env.data.inj_routes),
+              leader_window(spec.is_macro, env.base_state.route_pool))
+    fused = make_fused_itscp_episode(spec, env.meta, env.config, V, R, P,
+                                     P2, differentiable=True, window=win,
+                                     interpret=True)
+    key = jax.random.PRNGKey(0)
+    T, L, C = env.num_timestep, spec.num_lanes, spec.max_cells
+    rand = jax.random.uniform(key, (T, L))
+    n_phases = CFG["policy_length"] // CFG["signal_length"]
+    action = jnp.full(env.action_size(), 0.55)
+    tj = {k: np.asarray(v) for k, v in fused.debug_forward(
+        action.reshape(n_phases, -1), env.data.schedule,
+        env.data.mroute_next, env.data.mroute_prev, rand,
+        env.data.inj_routes, env.base_state.route_pool).items()}
+
+    ep = _make_episode_fn(spec, env.meta, env.config, True)
+    bstep = jax.jit(ep.boundary_and_step)
+    base = env.base_state
+    cell_valid = ((np.arange(C)[None] < np.asarray(spec.num_cell)[:, None])
+                  & np.asarray(spec.is_macro)[:, None])
+
+    def state_at(t):
+        params = VehicleParams(
+            accel_max=jnp.asarray(tj["p_amax"][t, :V, :L].T),
+            accel_pref=jnp.asarray(tj["p_apref"][t, :V, :L].T),
+            target_speed=jnp.asarray(tj["p_vt"][t, :V, :L].T),
+            min_space=jnp.asarray(tj["p_ms"][t, :V, :L].T),
+            time_pref=jnp.asarray(tj["p_tp"][t, :V, :L].T),
+            length=jnp.asarray(tj["p_len"][t, :V, :L].T),
+            a=jnp.asarray(tj["av"][t, :V, :L].T))
+        mac = base.macro._replace(
+            r=jnp.asarray(tj["r"][t, :C, :L].T),
+            y=jnp.asarray(tj["y"][t, :C, :L].T),
+            flux_capacitor=jnp.asarray(tj["cap"][t, :, :L].T))
+        mic = base.micro._replace(
+            position=jnp.asarray(tj["pos"][t, :V, :L].T),
+            speed=jnp.asarray(tj["vel"][t, :V, :L].T), params=params,
+            count=jnp.asarray(tj["count"][t, 0, :L]),
+            route=jnp.asarray(
+                np.transpose(tj["route"][t, :V, :, :L], (2, 0, 1))),
+            route_idx=jnp.asarray(tj["ridx"][t, :V, :L].T))
+        st = base._replace(
+            macro=mac, micro=mic,
+            macro_next=jnp.asarray(env.data.mroute_next[t]),
+            macro_prev=jnp.asarray(env.data.mroute_prev[t]),
+            route_pool_cursor=jnp.asarray(tj["cursor"][t, 0, :L]))
+        ms = rms.MeanState(jnp.float32(tj["rms"][t, 0, 0]),
+                           jnp.float32(tj["rms"][t, 0, 1]))
+        msig = rms.MeanState(jnp.float32(tj["rms"][t, 0, 2]),
+                             jnp.float32(tj["rms"][t, 0, 3]))
+        return st, jnp.asarray(tj["inj_left"][t, 0, :L]), ms, msig
+
+    for t in range(T - 1):
+        st, inj_left, ms, msig = state_at(t)
+        out = bstep(st, jnp.int32(t), action.reshape(n_phases, -1),
+                    jnp.asarray(env.data.schedule[t]), jnp.asarray(rand[t]),
+                    jnp.asarray(env.data.inj_routes), inj_left, ms, msig)
+        st2, queue = out[0], out[4]
+        cnt2 = np.asarray(st2.micro.count)
+        np.testing.assert_array_equal(cnt2, tj["count"][t + 1, 0, :L],
+                                      err_msg=f"count @t={t}")
+        act = np.arange(V)[None] < cnt2[:, None]
+        np.testing.assert_allclose(
+            np.asarray(st2.macro.r) * cell_valid,
+            tj["r"][t + 1, :C, :L].T * cell_valid, atol=5e-5,
+            err_msg=f"r @t={t}")
+        np.testing.assert_allclose(
+            np.asarray(st2.micro.position) * act,
+            tj["pos"][t + 1, :V, :L].T * act, atol=5e-5,
+            err_msg=f"pos @t={t}")
+        np.testing.assert_array_equal(
+            np.asarray(st2.micro.route) * act[:, :, None],
+            np.transpose(tj["route"][t + 1, :V, :, :L], (2, 0, 1))
+            * act[:, :, None], err_msg=f"route @t={t}")
+        np.testing.assert_allclose(float(queue), tj["queues"][t], atol=1e-5,
+                                   err_msg=f"queue @t={t}")
