@@ -74,6 +74,49 @@ def make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high):
                    out_shardings=(repl, repl, repl))
 
 
+def make_dp_train_step_shardmap(env, model, optimizer, mesh: Mesh, obs,
+                                low, high):
+    """Data-parallel training step with the episode batch executed inside
+    ``shard_map`` instead of relying on the compiler to partition it.
+
+    Functionally identical to :func:`make_dp_train_step`, but REQUIRED when
+    the episode runs as a fused Pallas kernel (``use_fused_episode``):
+    XLA's SPMD partitioner cannot split a Pallas custom call over the
+    vmapped scenario axis, whereas under shard_map each device simply runs
+    its own vmapped kernel instance over its local key shard. The only
+    cross-device collective is the ``pmean`` of the local losses (and,
+    through its transpose, the gradient all-reduce) riding ICI.
+    """
+    from dhts.apps.control.controller import squash_action
+
+    def episode_loss(params, key):
+        raw = model.apply(params, obs)
+        action = squash_action(raw, low, high)
+        return -env.episode(action, True, key).reward
+
+    def local_mean_loss(params, keys_local):
+        losses = jax.vmap(lambda k: episode_loss(params, k))(keys_local)
+        return jax.lax.pmean(jnp.mean(losses), axis_name="data")
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata, which the shard_map vma checker (jax>=0.9) rejects
+    loss_fn = jax.shard_map(local_mean_loss, mesh=mesh,
+                            in_specs=(P(), P("data")), out_specs=P(),
+                            check_vma=False)
+
+    def train_step(params, opt_state, keys):
+        loss, grads = jax.value_and_grad(loss_fn)(params, keys)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(train_step,
+                   in_shardings=(repl, repl, data),
+                   out_shardings=(repl, repl, repl))
+
+
 def lane_sharded_rollout(spec, mesh: Mesh, delta_time, num_steps,
                          differentiable=False, boundary_fn=None):
     """One-scenario rollout with the lane axis of all state arrays sharded

@@ -105,3 +105,42 @@ def test_batched_rollout_vmaps_scenarios():
     r_final = np.asarray(final.macro.r[:, 0, 0])
     assert len(np.unique(np.round(r_final, 6))) > 1
     assert np.all(np.isfinite(r_final))
+
+
+def test_dp_train_step_shardmap_fused_kernel():
+    """shard_map DP with the episode as a fused Pallas kernel: each device
+    runs its own kernel instance over its key shard; loss matches the
+    unsharded scan computation."""
+    env = small_env()
+    env.config["use_fused_episode"] = True
+    mesh = pmesh.make_mesh({"data": 4})
+    obs = jnp.asarray(env.observe())
+    low, high = env.action_bounds()
+    model = Controller(output_size=env.action_size(), network_size=(16, 16))
+    params = model.init(jax.random.PRNGKey(0), obs)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = pmesh.make_dp_train_step_shardmap(env, model, opt, mesh, obs,
+                                             low, high)
+    keys = jax.device_put(
+        jax.random.split(jax.random.PRNGKey(1), 4),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("data")))
+    p1, o1, loss_sharded = step(params, opt_state, keys)
+    assert np.isfinite(float(loss_sharded))
+
+    env_scan = small_env()
+    from dhts.apps.control.controller import squash_action
+
+    def loss_fn(params, keys):
+        def ep(k):
+            raw = model.apply(params, obs)
+            a = squash_action(raw, low, high)
+            return -env_scan.episode(a, True, k).reward
+
+        return jnp.mean(jax.vmap(ep)(keys))
+
+    loss_local = float(loss_fn(params, jax.random.split(
+        jax.random.PRNGKey(1), 4)))
+    assert float(loss_sharded) == pytest.approx(loss_local, rel=1e-3,
+                                                abs=1e-4)
