@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dhts.ops import arz, idm
+from dhts.ops.pallas import _compat  # noqa: F401  (reduce_precision lowering)
 
 _LANE = 128
 _SUBLANE = 8
@@ -686,7 +687,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return pl.BlockSpec((1,) + shape,
                             lambda i: (T - 1 - i,) + (0,) * len(shape))
 
-    seq_params = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    seq_params = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                      vmem_limit_bytes=100 * 1024 * 1024)
 
     # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
     def make_fwd_kernel(save_traj):
@@ -778,6 +780,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
+        if Lp > _LANE * 2:
+            # large scenes: the step vjp's full intermediate set exceeds the
+            # 128 MB VMEM (register-allocator spills). Keep only matmul
+            # results as residuals and recompute the [Lp, Lp] one-hot
+            # intermediates during the transpose. (A bare policy fn — the
+            # stock checkpoint_dots policy tags saveables with
+            # reduce_precision ops Mosaic cannot lower.)
+            fwd_t = jax.checkpoint(
+                fwd_t, policy=lambda prim, *_, **__:
+                prim.name == "dot_general")
         floats = tuple(comps[j] for j in FDIFF)
         _, vjp = jax.vjp(fwd_t, floats, action_ref[:])
         d_floats, d_action = vjp((tuple(ref[:] for ref in gscratch), gq))
