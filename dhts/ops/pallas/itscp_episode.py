@@ -122,11 +122,22 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
 
     def gather_lanes(values_row, idx_row):
         """values_row [1, Lp] re-indexed by idx_row [1, Lp] (one-hot matmul);
-        invalid (< 0) indices produce 0."""
+        invalid (< 0) indices produce 0. HIGHEST precision: the default MXU
+        path truncates the gathered fp32 values to bf16."""
         oh = (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
               idx_row).astype(jnp.float32)  # column l = one-hot of idx[l]
         return jnp.dot(values_row, oh, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+    def gather_lanes2(row_a, row_b, idx_row):
+        """Two co-indexed gathers in one MXU pass (a [1,Lp] LHS wastes the
+        systolic array's rows)."""
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
+              idx_row).astype(jnp.float32)
+        g = jnp.dot(jnp.concatenate([row_a, row_b], axis=0), oh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return g[0:1], g[1:2]
 
     def step(r, y, rms_tot, rms_cnt, t, action2d, sched_t, mnext_t, mprev_t,
              cn):
@@ -156,8 +167,7 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
         # by the predecessor's signal (env itscp boundary_and_step)
         adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
         use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0)
-        nb_r = gather_lanes(r_last, adjp)
-        nb_u = gather_lanes(u_last, adjp)
+        nb_r, nb_u = gather_lanes2(r_last, u_last, adjp)
         hp = cn["has_prev"] > 0
         gl_r = jnp.where(hp, jnp.where(use_nb_l, nb_r, 0.0), sched_t)
         gl_u = jnp.where(hp, jnp.where(use_nb_l, nb_u, u_max),
@@ -171,8 +181,9 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
         # --- right ghost: green neighbor vs red jam wall, own gate
         adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
         use_nb_r = (cn["num_next"] > 0) & (adjn >= 0)
-        gr_r = jnp.where(use_nb_r, gather_lanes(r_first, adjn), 0.0)
-        gr_u = jnp.where(use_nb_r, gather_lanes(u_first, adjn), u_max)
+        gn_r, gn_u = gather_lanes2(r_first, u_first, adjn)
+        gr_r = jnp.where(use_nb_r, gn_r, 0.0)
+        gr_u = jnp.where(use_nb_r, gn_u, u_max)
         s = soft(sig - 0.5, 32.0)
         br_r = gr_r * s + (1.0 - s)
         br_u = gr_u * s
