@@ -476,14 +476,12 @@ class ItscpEnv:
         variant is the training path (reference ``env.step(action, True)``).
 
         With ``config["use_fused_episode"]``, the differentiable path runs
-        as whole-episode Pallas kernels: macro scenes through
-        :mod:`dhts.ops.pallas.itscp_episode`, hybrid/micro scenes through
-        the grid-streamed :mod:`dhts.ops.pallas.itscp_hybrid_episode`
-        (fwd+bwd, ~13x the scan path on TPU, gradient cosine 1.0 and exact
-        event parity on the flagship 3x3 preset)."""
+        as ONE whole-episode grid-streamed Pallas kernel pair
+        (:mod:`dhts.ops.pallas.itscp_hybrid_episode`) for every mode —
+        on all-macro scenes the vehicle machinery is inert and it still
+        beats the VMEM-resident macro kernel (62k vs 10k steps/s at 3x3;
+        gradient cosine 1.0 and exact event parity vs the scan path)."""
         if differentiable and self.config.get("use_fused_episode"):
-            if self.config["mode"] == "macro":
-                return self._fused_episode(action)
             return self._fused_hybrid_episode(action, key)
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
@@ -520,26 +518,6 @@ class ItscpEnv:
                              injected=jnp.sum(ev[:, 0]),
                              max_wave_speed=jnp.zeros(()),
                              events_per_step=ev)
-
-    def _fused_episode(self, action) -> EpisodeResult:
-        if getattr(self, "_fused_ep_fn", None) is None:
-            from dhts.ops.pallas.itscp_episode import \
-                make_fused_itscp_macro_episode
-
-            self._fused_ep_fn = make_fused_itscp_macro_episode(
-                self.spec, self.meta, self.config)
-        c = self.config
-        n_phases = max(1, (c["policy_length"] * c["duration"]) //
-                       c["signal_length"])
-        L, C = self.spec.num_lanes, self.spec.max_cells
-        zeros = jnp.zeros((L, C))
-        reward, queues = self._fused_ep_fn(
-            jnp.asarray(action).reshape(n_phases, -1), self.data.schedule,
-            self.data.mroute_next, self.data.mroute_prev, zeros, zeros)
-        zi = jnp.zeros((), jnp.int32)
-        return EpisodeResult(reward=reward, queue_per_step=queues,
-                             emitted=zi, absorbed=zi, injected=zi,
-                             max_wave_speed=jnp.zeros(()))
 
     # -- multi-scenario batching (no reference counterpart) -----------------
 

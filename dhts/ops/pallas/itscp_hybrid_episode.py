@@ -167,8 +167,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                   inter_pick=inter_pick)
     const_names = sorted(consts.keys())
 
-    INF = jnp.int32(Lp)
-
     def soft(x, c):
         return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
 

@@ -91,7 +91,7 @@ def test_hybrid_fused_gradient_matches_scan():
                                atol=2e-3 * np.abs(g_ref).max())
 
 
-@pytest.mark.parametrize("mode", ["hybrid", "micro"])
+@pytest.mark.parametrize("mode", ["hybrid", "micro", "macro"])
 def test_env_fused_episode_wiring(mode):
     """config use_fused_episode routes hybrid/micro training episodes
     through the fused kernel with the same randomness as the scan path."""
