@@ -5,6 +5,10 @@ demo is snappy even when a remote TPU backend is registered).
 """
 
 import os
+import sys
+
+# importable when run as `python examples/quickstart.py` without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
