@@ -452,6 +452,7 @@ class ItscpEnv:
                 _make_episode_fn(self.spec, self.meta, c, True))
             self._episode_hard = jax.jit(
                 _make_episode_fn(self.spec, self.meta, c, False))
+            self._fused_hyb_fn = None  # scene changed: rebuild the kernel
         return self.observe()
 
     def observe(self) -> np.ndarray:
@@ -487,20 +488,25 @@ class ItscpEnv:
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
     def _fused_hybrid_episode(self, action, key) -> EpisodeResult:
-        if getattr(self, "_fused_hyb_fn", None) is None:
-            from dhts.ops.pallas.itscp_hybrid_episode import (
-                leader_window, make_fused_itscp_episode)
+        from dhts.ops.pallas.itscp_hybrid_episode import (
+            leader_window, make_fused_itscp_episode)
 
+        # the leader-search window bound is baked into the kernel but
+        # depends on the per-reset route pools; rebuild if a reset drew
+        # pools needing a longer walk
+        win = max(leader_window(self.spec.is_macro, self.data.inj_routes),
+                  leader_window(self.spec.is_macro,
+                                self.base_state.route_pool))
+        if (getattr(self, "_fused_hyb_fn", None) is None or
+                win > self._fused_win):
             V = self.base_state.micro.position.shape[1]
             R = self.base_state.micro.route.shape[2]
             P = self.data.inj_routes.shape[1]
             P2 = self.base_state.route_pool.shape[1]
-            win = max(leader_window(self.spec.is_macro, self.data.inj_routes),
-                      leader_window(self.spec.is_macro,
-                                    self.base_state.route_pool))
             self._fused_hyb_fn = make_fused_itscp_episode(
                 self.spec, self.meta, self.config, V, R, P, P2,
                 differentiable=True, window=win)
+            self._fused_win = win
         c = self.config
         n_phases = max(1, (c["policy_length"] * c["duration"]) //
                        c["signal_length"])
