@@ -453,6 +453,13 @@ class ItscpEnv:
             self._episode_hard = jax.jit(
                 _make_episode_fn(self.spec, self.meta, c, False))
             self._fused_hyb_fn = None  # scene changed: rebuild the kernel
+        # leader-search window bound for the fused kernel: computed here,
+        # once per reset, because it depends on the freshly drawn pools
+        # (and reading them is a host transfer)
+        from dhts.ops.pallas.itscp_hybrid_episode import leader_window
+        self._fused_win_needed = max(
+            leader_window(self.spec.is_macro, inj),
+            leader_window(self.spec.is_macro, self.base_state.route_pool))
         return self.observe()
 
     def observe(self) -> np.ndarray:
@@ -488,15 +495,12 @@ class ItscpEnv:
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
     def _fused_hybrid_episode(self, action, key) -> EpisodeResult:
-        from dhts.ops.pallas.itscp_hybrid_episode import (
-            leader_window, make_fused_itscp_episode)
+        from dhts.ops.pallas.itscp_hybrid_episode import \
+            make_fused_itscp_episode
 
-        # the leader-search window bound is baked into the kernel but
-        # depends on the per-reset route pools; rebuild if a reset drew
-        # pools needing a longer walk
-        win = max(leader_window(self.spec.is_macro, self.data.inj_routes),
-                  leader_window(self.spec.is_macro,
-                                self.base_state.route_pool))
+        # _fused_win is computed in reset() (where the pools change); the
+        # kernel bakes it in, so a reset needing a longer walk rebuilds
+        win = self._fused_win_needed
         if (getattr(self, "_fused_hyb_fn", None) is None or
                 win > self._fused_win):
             V = self.base_state.micro.position.shape[1]

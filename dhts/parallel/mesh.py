@@ -42,14 +42,9 @@ def shard_episode_batch(mesh: Mesh, keys):
     return jax.device_put(keys, NamedSharding(mesh, P("data")))
 
 
-def make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high):
-    """Data-parallel ITSCP training step over a batch of episodes.
-
-    ``fn(params, opt_state, keys[B]) -> (params, opt_state, loss)`` with
-    ``keys`` sharded over the ``data`` mesh axis and parameters replicated.
-    The per-episode losses are vmapped; the mean's gradient reduction is the
-    one cross-device collective.
-    """
+def _make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high,
+                        use_shard_map: bool):
+    """Shared body of the two DP train-step builders below."""
     from dhts.apps.control.controller import squash_action
 
     def episode_loss(params, key):
@@ -57,9 +52,21 @@ def make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high):
         action = squash_action(raw, low, high)
         return -env.episode(action, True, key).reward
 
-    def loss_fn(params, keys):
-        losses = jax.vmap(lambda k: episode_loss(params, k))(keys)
-        return jnp.mean(losses)
+    def batch_mean_loss(params, keys):
+        return jnp.mean(jax.vmap(lambda k: episode_loss(params, k))(keys))
+
+    if use_shard_map:
+        def local_mean_loss(params, keys_local):
+            return jax.lax.pmean(batch_mean_loss(params, keys_local),
+                                 axis_name="data")
+
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-
+        # axes metadata, which the shard_map vma checker (jax>=0.9) rejects
+        loss_fn = jax.shard_map(local_mean_loss, mesh=mesh,
+                                in_specs=(P(), P("data")), out_specs=P(),
+                                check_vma=False)
+    else:
+        loss_fn = batch_mean_loss
 
     def train_step(params, opt_state, keys):
         loss, grads = jax.value_and_grad(loss_fn)(params, keys)
@@ -72,6 +79,18 @@ def make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high):
     return jax.jit(train_step,
                    in_shardings=(repl, repl, data),
                    out_shardings=(repl, repl, repl))
+
+
+def make_dp_train_step(env, model, optimizer, mesh: Mesh, obs, low, high):
+    """Data-parallel ITSCP training step over a batch of episodes.
+
+    ``fn(params, opt_state, keys[B]) -> (params, opt_state, loss)`` with
+    ``keys`` sharded over the ``data`` mesh axis and parameters replicated.
+    The per-episode losses are vmapped; the mean's gradient reduction is the
+    one cross-device collective (inserted by the compiler).
+    """
+    return _make_dp_train_step(env, model, optimizer, mesh, obs, low, high,
+                               use_shard_map=False)
 
 
 def make_dp_train_step_shardmap(env, model, optimizer, mesh: Mesh, obs,
@@ -87,34 +106,8 @@ def make_dp_train_step_shardmap(env, model, optimizer, mesh: Mesh, obs,
     cross-device collective is the ``pmean`` of the local losses (and,
     through its transpose, the gradient all-reduce) riding ICI.
     """
-    from dhts.apps.control.controller import squash_action
-
-    def episode_loss(params, key):
-        raw = model.apply(params, obs)
-        action = squash_action(raw, low, high)
-        return -env.episode(action, True, key).reward
-
-    def local_mean_loss(params, keys_local):
-        losses = jax.vmap(lambda k: episode_loss(params, k))(keys_local)
-        return jax.lax.pmean(jnp.mean(losses), axis_name="data")
-
-    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-    # metadata, which the shard_map vma checker (jax>=0.9) rejects
-    loss_fn = jax.shard_map(local_mean_loss, mesh=mesh,
-                            in_specs=(P(), P("data")), out_specs=P(),
-                            check_vma=False)
-
-    def train_step(params, opt_state, keys):
-        loss, grads = jax.value_and_grad(loss_fn)(params, keys)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(train_step,
-                   in_shardings=(repl, repl, data),
-                   out_shardings=(repl, repl, repl))
+    return _make_dp_train_step(env, model, optimizer, mesh, obs, low, high,
+                               use_shard_map=True)
 
 
 def lane_sharded_rollout(spec, mesh: Mesh, delta_time, num_steps,

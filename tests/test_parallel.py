@@ -140,7 +140,36 @@ def test_dp_train_step_shardmap_fused_kernel():
 
         return jnp.mean(jax.vmap(ep)(keys))
 
-    loss_local = float(loss_fn(params, jax.random.split(
-        jax.random.PRNGKey(1), 4)))
+    keys_local = jax.random.split(jax.random.PRNGKey(1), 4)
+    loss_local = float(loss_fn(params, keys_local))
     assert float(loss_sharded) == pytest.approx(loss_local, rel=1e-3,
                                                 abs=1e-4)
+
+    # gradient parity: shard_map transpose of the fused kernel's custom
+    # VJP (+ pmean) vs the unsharded scan gradient — a wrong collective
+    # factor would keep the loss identical but corrupt training
+    from dhts.apps.control.controller import squash_action
+
+    def fused_loss(params, keys):
+        def ep(k):
+            raw = model.apply(params, obs)
+            a = squash_action(raw, low, high)
+            return -env.episode(a, True, k).reward
+
+        return jnp.mean(jax.vmap(ep)(keys))
+
+    g_scan = jax.grad(loss_fn)(params, keys_local)
+    # the jitted train_step doesn't expose its gradient; rebuild the
+    # shard_map loss exactly as the builder does
+    import jax.sharding as jsh
+    sm_loss = jax.shard_map(
+        lambda p, ks: jax.lax.pmean(fused_loss(p, ks), axis_name="data"),
+        mesh=mesh, in_specs=(jsh.PartitionSpec(),
+                             jsh.PartitionSpec("data")),
+        out_specs=jsh.PartitionSpec(), check_vma=False)
+    g_sm = jax.jit(jax.grad(sm_loss))(params, keys)
+    from jax.flatten_util import ravel_pytree
+    flat_s, _ = ravel_pytree(g_scan)
+    flat_m, _ = ravel_pytree(g_sm)
+    np.testing.assert_allclose(np.asarray(flat_m), np.asarray(flat_s),
+                               rtol=5e-3, atol=1e-6)
