@@ -1,0 +1,134 @@
+"""Explicit-collective spatial sharding vs the unsharded network step.
+
+The shard_map step in ``dhts/parallel/spatial.py`` must reproduce
+``network_step`` exactly — same states, same events, same gradients — while
+moving only per-lane summary rows between devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhts.models import network, scene
+from dhts.parallel import spatial
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def ring_scene(V=6):
+    """8-lane ring alternating macro/micro, with traffic that exercises
+    every conversion type (emission, transfer, deposit) during a rollout."""
+    b = scene.SceneBuilder(20.0, max_vehicles_per_lane=V,
+                           max_route_length=8, route_pool_size=4)
+    ids = []
+    for i in range(8):
+        if i % 2 == 0:
+            ids.append(b.add_macro_lane(40.0, 5.0))
+        else:
+            ids.append(b.add_micro_lane(40.0))
+    for i in range(8):
+        b.connect(ids[i], ids[(i + 1) % 8])
+    spec, state = b.build(np.random.default_rng(0))
+
+    mn = np.full(8, -1, np.int32)
+    mp = np.full(8, -1, np.int32)
+    for i in range(0, 8, 2):  # every macro lane routes to its ring successor
+        mn[i] = (i + 1) % 8
+        mp[(i + 1) % 8] = i
+    state = state._replace(macro_next=jnp.asarray(mn),
+                           macro_prev=jnp.asarray(mp))
+
+    for i in range(0, 8, 2):
+        n = int(spec.num_cell[i])
+        state = network.set_macro_lane_state(
+            state, i, jnp.full(n, 0.4), jnp.full(n, 10.0), spec)
+    R = state.micro.route.shape[2]
+    for i in range(1, 8, 2):
+        routes = jnp.full((2, R), -1, jnp.int32)
+        for v in range(2):
+            for k in range(4):
+                routes = routes.at[v, k].set((i + k) % 8)
+        state = network.set_micro_lane_vehicles(
+            state, i, jnp.asarray([6.0, 20.0]), jnp.asarray([8.0, 8.0]),
+            routes=routes, spec=spec)
+    return spec, state
+
+
+def unsharded_rollout(spec, dt, steps):
+    def body(s, _):
+        s, d = network.network_step(spec, s, dt, False)
+        return s, jnp.max(d.max_wave_speed)
+
+    return jax.jit(lambda s: jax.lax.scan(body, s, None, length=steps))
+
+
+@pytest.mark.parametrize("n_lane", [2, 4, 8])
+def test_spatial_rollout_matches_unsharded(n_lane):
+    spec, state = ring_scene()
+    mesh = spatial.Mesh(np.asarray(jax.devices()[:n_lane]), ("lane",))
+    sharded = spatial.make_spatial_rollout(spec, mesh, 0.05, 150)
+    s_final, s_wave = sharded(state)
+    u_final, u_wave = unsharded_rollout(spec, 0.05, 150)(state)
+
+    # events must actually have fired for this test to mean anything
+    assert int(u_final.veh_counter) > 0, "no emission happened"
+    assert np.any(np.asarray(u_final.micro.vid) !=
+                  np.asarray(state.micro.vid)), "no vehicle motion"
+
+    np.testing.assert_allclose(np.asarray(s_wave), np.asarray(u_wave),
+                               rtol=1e-6, atol=1e-7)
+    for name in ("r", "y", "ext_left_r", "ext_right_r", "flux_capacitor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_final.macro, name)),
+            np.asarray(getattr(u_final.macro, name)), rtol=1e-5, atol=1e-6,
+            err_msg=f"macro.{name}")
+    np.testing.assert_array_equal(np.asarray(s_final.micro.count),
+                                  np.asarray(u_final.micro.count))
+    np.testing.assert_array_equal(np.asarray(s_final.micro.vid),
+                                  np.asarray(u_final.micro.vid))
+    np.testing.assert_array_equal(np.asarray(s_final.micro.route_idx),
+                                  np.asarray(u_final.micro.route_idx))
+    act = np.asarray(u_final.micro.active)
+    np.testing.assert_allclose(
+        np.asarray(s_final.micro.position)[act],
+        np.asarray(u_final.micro.position)[act], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_final.micro.speed)[act],
+        np.asarray(u_final.micro.speed)[act], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_final.micro.params.a)[act],
+        np.asarray(u_final.micro.params.a)[act], rtol=1e-5, atol=1e-6)
+    assert int(s_final.veh_counter) == int(u_final.veh_counter)
+
+
+def test_spatial_gradients_match_unsharded():
+    """grad of a rollout loss w.r.t. the initial macro state must agree:
+    the all_gather transposes and straight-through event semantics have to
+    reproduce the unsharded gradient, events included."""
+    spec, state = ring_scene()
+    mesh = spatial.Mesh(np.asarray(jax.devices()[:4]), ("lane",))
+    steps = 80
+
+    sharded = spatial.make_spatial_rollout(spec, mesh, 0.05, steps)
+    unsharded = unsharded_rollout(spec, 0.05, steps)
+
+    def loss_from(rollout):
+        def loss(r0):
+            s = state._replace(macro=state.macro._replace(r=r0))
+            final, _ = rollout(s)
+            act = final.micro.active
+            return (jnp.sum(final.macro.r * spec.cell_mask) +
+                    jnp.sum(jnp.where(act, final.micro.position, 0.0)) * 1e-2)
+
+        return loss
+
+    r0 = state.macro.r
+    g_u = jax.grad(loss_from(unsharded))(r0)
+    g_s = jax.grad(loss_from(sharded))(r0)
+    l_u = float(loss_from(unsharded)(r0))
+    l_s = float(loss_from(sharded)(r0))
+    assert l_s == pytest.approx(l_u, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u), rtol=1e-4,
+                               atol=1e-6)
