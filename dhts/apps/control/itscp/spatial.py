@@ -42,11 +42,10 @@ from dhts.parallel import spatial as sp
 from dhts.utils import rms
 
 
-def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
-                         axis_name: str = "lane"):
-    """Build ``fn(action_flat, key) -> EpisodeResult`` with the scene
-    sharded over ``mesh``'s ``axis_name`` axis. ``env`` must be reset;
-    ``env.spec.num_lanes`` must divide by the axis size."""
+def _make_parts(env, mesh: Mesh, differentiable: bool = True,
+                axis_name: str = "lane"):
+    """Shared builder: the shard_map-local episode body plus everything
+    needed to wrap it (partition specs, per-episode constants)."""
     spec, meta, config = env.spec, env.meta, dict(env.config)
     data, state0 = env.data, env.base_state
     ctx = sp.make_context(spec, mesh, axis_name)
@@ -283,27 +282,51 @@ def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             unroll=config.get("unroll", 1))
         return ys  # (queues, n_inj, emitted, absorbed, max_wave), each [T]
 
-    spec_sp, meta_sp, state_sp, row_sp, inj_sp = sp.state_partition_specs(
+    specs = sp.state_partition_specs(
         (spec, meta, state0, jnp.zeros((L,), jnp.int32), data.inj_routes),
         L, axis_name)
-    t_lane = P(None, axis_name)  # [T, L] per-step inputs
-
-    sharded = jax.shard_map(
-        local_episode, mesh=mesh,
-        in_specs=(spec_sp, meta_sp, state_sp, row_sp, P(), t_lane, t_lane,
-                  t_lane, t_lane, inj_sp),
-        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
 
     P_pool = int(data.inj_routes.shape[1])
     inj_left0 = jnp.where(
         ~np.asarray(meta.has_prev) & ~np.asarray(spec.is_macro), P_pool,
         0).astype(jnp.int32)
 
+    class Parts:
+        pass
+
+    parts = Parts()
+    parts.ctx = ctx
+    parts.local_episode = local_episode
+    parts.specs = specs  # (spec, meta, state0, inj_left0-row, inj_routes)
+    parts.inj_left0 = inj_left0
+    parts.T, parts.L, parts.l_loc = T, L, l_loc
+    parts.n_phases, parts.n_inter = n_phases, n_inter
+    parts.spec, parts.meta, parts.state0, parts.data = spec, meta, state0, \
+        data
+    return parts
+
+
+def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
+                        axis_name: str = "lane"):
+    """Build ``fn(action_flat, key) -> EpisodeResult`` with the scene
+    sharded over ``mesh``'s ``axis_name`` axis. ``env`` must be reset;
+    ``env.spec.num_lanes`` must divide by the axis size."""
+    p = _make_parts(env, mesh, differentiable, axis_name)
+    spec_sp, meta_sp, state_sp, row_sp, inj_sp = p.specs
+    t_lane = P(None, axis_name)  # [T, L] per-step inputs
+
+    sharded = jax.shard_map(
+        p.local_episode, mesh=mesh,
+        in_specs=(spec_sp, meta_sp, state_sp, row_sp, P(), t_lane, t_lane,
+                  t_lane, t_lane, inj_sp),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+    data = p.data
+
     def episode(action_flat, key):
-        action2d = jnp.asarray(action_flat).reshape(n_phases, n_inter)
-        rand = jax.random.uniform(key, (T, L))
+        action2d = jnp.asarray(action_flat).reshape(p.n_phases, p.n_inter)
+        rand = jax.random.uniform(key, (p.T, p.L))
         queues, n_inj, emitted, absorbed, max_wave = sharded(
-            spec, meta, state0, inj_left0, action2d, data.schedule,
+            p.spec, p.meta, p.state0, p.inj_left0, action2d, data.schedule,
             data.mroute_next, data.mroute_prev, rand, data.inj_routes)
         return EpisodeResult(
             reward=-jnp.sum(queues), queue_per_step=queues,
@@ -312,3 +335,72 @@ def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             events_per_step=jnp.stack([n_inj, emitted, absorbed], axis=1))
 
     return jax.jit(episode)
+
+
+def make_spatial_train_step(env, model, optimizer, mesh: Mesh, obs, low,
+                            high, axis_data: str = "data",
+                            axis_lane: str = "lane"):
+    """Controller training step on a 2-D ``(data, lane)`` mesh: a batch of
+    episodes sharded over ``axis_data``, each episode's SCENE sharded over
+    ``axis_lane`` — the full production scaling composition (scene too big
+    for one chip x batch throughput), with replicated controller params
+    and one psum'd loss/gradient.
+
+    Returns ``fn(params, opt_state, keys[B]) -> (params, opt_state,
+    loss)``; ``B`` must divide by the data-axis size. The per-episode loss
+    matches ``-env.episode(squash(model(obs)), True, key).reward`` exactly
+    (same pre-drawn randomness; tests/test_spatial.py).
+    """
+    import optax
+
+    from dhts.apps.control.controller import squash_action
+
+    p = _make_parts(env, mesh, True, axis_lane)
+    spec_sp, meta_sp, state_sp, row_sp, inj_sp = p.specs
+    t_lane = P(None, axis_lane)
+    data = p.data
+
+    def local_loss(spec_loc, meta_loc, state0_loc, inj0_loc, inj_routes_loc,
+                   sched, nxt, prv, params, keys_local):
+        def ep_loss(key):
+            raw = model.apply(params, obs)
+            action = squash_action(raw, low, high)
+            action2d = action.reshape(p.n_phases, p.n_inter)
+            # the same global draw as the unsharded episode, local columns
+            rand = jax.random.uniform(key, (p.T, p.L))
+            off = lax.axis_index(axis_lane) * p.l_loc
+            rand_l = lax.dynamic_slice_in_dim(rand, off, p.l_loc, 1)
+            queues, *_ = p.local_episode(
+                spec_loc, meta_loc, state0_loc, inj0_loc, action2d, sched,
+                nxt, prv, rand_l, inj_routes_loc)
+            return jnp.sum(queues)  # loss = -reward
+
+        loss_loc = jnp.mean(jax.vmap(ep_loss)(keys_local))
+        # mean over the episode batch (data axis); the lane-axis pmean is
+        # an identity on the forward (the psum'd episode loss is already
+        # replicated across lane shards) but scales the transpose so the
+        # redundantly-computed cotangents sum to exactly one gradient
+        return lax.pmean(lax.pmean(loss_loc, axis_data), axis_lane)
+
+    loss_fn = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(spec_sp, meta_sp, state_sp, row_sp, inj_sp, t_lane,
+                  t_lane, t_lane, P(), P(axis_data)),
+        out_specs=P(), check_vma=False)
+
+    def train_step(params, opt_state, keys):
+        loss, grads = jax.value_and_grad(
+            lambda q: loss_fn(p.spec, p.meta, p.state0, p.inj_left0,
+                              data.inj_routes, data.schedule,
+                              data.mroute_next, data.mroute_prev, q,
+                              keys))(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    dspec = NamedSharding(mesh, P(axis_data))
+    return jax.jit(train_step, in_shardings=(repl, repl, dspec),
+                   out_shardings=(repl, repl, repl))

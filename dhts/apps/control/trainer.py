@@ -36,15 +36,24 @@ from dhts.apps.control.controller import Controller, squash_action
 class Trainer:
 
     def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
-                 render_eval=False, multi_scenario=False):
+                 render_eval=False, multi_scenario=False, mesh=None):
         """``multi_scenario``: train the controller against the env's whole
         scenario batch (``env.reset_batch`` must have been called) — every
         scenario's episode, per-scenario observation and action, runs inside
         the one jitted train step. The reference has no counterpart (it
-        trains one controller per fixed schedule)."""
+        trains one controller per fixed schedule).
+
+        ``mesh``: a 2-D ``(data, lane)`` ``jax.sharding.Mesh`` — the train
+        step then runs spatially sharded (the scene split over ``lane``,
+        the episode batch over ``data``; see
+        :func:`dhts.apps.control.itscp.spatial.make_spatial_train_step`),
+        for grid scenes too large for one chip. Mutually exclusive with
+        ``multi_scenario``; episodes-per-epoch must divide the data axis."""
         self.env = env
         self.render_eval = render_eval
         self.multi_scenario = multi_scenario
+        self.mesh = mesh
+        assert not (mesh is not None and multi_scenario)
         if multi_scenario:
             assert getattr(env, "batch_obs", None) is not None, \
                 "call env.reset_batch(B) before Trainer(multi_scenario=True)"
@@ -97,9 +106,25 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        # jit-cached per episodes-per-epoch batch size
-        self._train_step = jax.jit(train_step)
-        self._eval_episode = jax.jit(eval_episode)
+        if mesh is not None:
+            from dhts.apps.control.itscp import spatial as itscp_spatial
+
+            self._train_step = itscp_spatial.make_spatial_train_step(
+                env, self.model, self.opt, mesh, self.obs, self.low,
+                self.high)
+            ep_hard = itscp_spatial.make_spatial_episode(
+                env, mesh, differentiable=False)
+
+            def eval_episode_sharded(params, key):
+                raw = self.model.apply(params, self.obs)
+                action = squash_action(raw, self.low, self.high)
+                return ep_hard(action, key)
+
+            self._eval_episode = jax.jit(eval_episode_sharded)
+        else:
+            # jit-cached per episodes-per-epoch batch size
+            self._train_step = jax.jit(train_step)
+            self._eval_episode = jax.jit(eval_episode)
 
     # -- training loop ------------------------------------------------------
 
@@ -123,6 +148,11 @@ class Trainer:
                  max(1, num_episode_per_epoch))
             self.key, k = jax.random.split(self.key)
             keys = jax.random.split(k, E)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                keys = jax.device_put(
+                    keys, NamedSharding(self.mesh, PartitionSpec("data")))
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, keys)
             loss = float(loss)
