@@ -158,10 +158,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
             dflt = default_params(spec.speed_limit, (L,))
 
             def tail_insert(x, newval):
-                shifted = jnp.concatenate(
-                    [newval[:, None, ...], x[:, :-1, ...]], axis=1)
-                m = inject.reshape((L,) + (1,) * (x.ndim - 1))
-                return jnp.where(m, shifted, x)
+                return network.tail_insert_rows(x, newval, inject)
 
             mic = mic._replace(
                 position=tail_insert(mic.position, jnp.zeros(L)),

@@ -124,10 +124,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
             dflt = default_params(spec_loc.speed_limit, (l_loc,))
 
             def tail_insert(x, newval):
-                shifted = jnp.concatenate(
-                    [newval[:, None, ...], x[:, :-1, ...]], axis=1)
-                m = inject.reshape((l_loc,) + (1,) * (x.ndim - 1))
-                return jnp.where(m, shifted, x)
+                return network.tail_insert_rows(x, newval, inject)
 
             mic = mic._replace(
                 position=tail_insert(mic.position, jnp.zeros(l_loc)),
@@ -320,13 +317,13 @@ def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         in_specs=(spec_sp, meta_sp, state_sp, row_sp, P(), t_lane, t_lane,
                   t_lane, t_lane, inj_sp),
         out_specs=(P(), P(), P(), P(), P()), check_vma=False)
-    data = p.data
 
-    def episode(action_flat, key):
+    @jax.jit
+    def run(action_flat, key, data, state0):
         action2d = jnp.asarray(action_flat).reshape(p.n_phases, p.n_inter)
         rand = jax.random.uniform(key, (p.T, p.L))
         queues, n_inj, emitted, absorbed, max_wave = sharded(
-            p.spec, p.meta, p.state0, p.inj_left0, action2d, data.schedule,
+            p.spec, p.meta, state0, p.inj_left0, action2d, data.schedule,
             data.mroute_next, data.mroute_prev, rand, data.inj_routes)
         return EpisodeResult(
             reward=-jnp.sum(queues), queue_per_step=queues,
@@ -334,7 +331,14 @@ def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             injected=jnp.sum(n_inj), max_wave_speed=jnp.max(max_wave),
             events_per_step=jnp.stack([n_inj, emitted, absorbed], axis=1))
 
-    return jax.jit(episode)
+    def episode(action_flat, key):
+        # the episode data / base state are jit ARGUMENTS read at call
+        # time, so a later env.reset() (new schedule / macro routes /
+        # waiting pools) is picked up exactly like env.episode — same
+        # shapes, no retrace
+        return run(action_flat, key, env.data, env.base_state)
+
+    return episode
 
 
 def make_spatial_train_step(env, model, optimizer, mesh: Mesh, obs, low,
@@ -355,10 +359,12 @@ def make_spatial_train_step(env, model, optimizer, mesh: Mesh, obs, low,
 
     from dhts.apps.control.controller import squash_action
 
+    assert axis_data in mesh.axis_names and axis_lane in mesh.axis_names, \
+        f"mesh axes {mesh.axis_names} must include " \
+        f"('{axis_data}', '{axis_lane}')"
     p = _make_parts(env, mesh, True, axis_lane)
     spec_sp, meta_sp, state_sp, row_sp, inj_sp = p.specs
     t_lane = P(None, axis_lane)
-    data = p.data
 
     def local_loss(spec_loc, meta_loc, state0_loc, inj0_loc, inj_routes_loc,
                    sched, nxt, prv, params, keys_local):
@@ -388,9 +394,9 @@ def make_spatial_train_step(env, model, optimizer, mesh: Mesh, obs, low,
                   t_lane, t_lane, P(), P(axis_data)),
         out_specs=P(), check_vma=False)
 
-    def train_step(params, opt_state, keys):
+    def train_step_inner(params, opt_state, keys, data, state0):
         loss, grads = jax.value_and_grad(
-            lambda q: loss_fn(p.spec, p.meta, p.state0, p.inj_left0,
+            lambda q: loss_fn(p.spec, p.meta, state0, p.inj_left0,
                               data.inj_routes, data.schedule,
                               data.mroute_next, data.mroute_prev, q,
                               keys))(params)
@@ -402,5 +408,14 @@ def make_spatial_train_step(env, model, optimizer, mesh: Mesh, obs, low,
 
     repl = NamedSharding(mesh, P())
     dspec = NamedSharding(mesh, P(axis_data))
-    return jax.jit(train_step, in_shardings=(repl, repl, dspec),
-                   out_shardings=(repl, repl, repl))
+    repl_tree = jax.tree.map(lambda _: repl, (env.data, env.base_state))
+    jitted = jax.jit(train_step_inner,
+                     in_shardings=(repl, repl, dspec, *repl_tree),
+                     out_shardings=(repl, repl, repl))
+
+    def train_step(params, opt_state, keys):
+        # episode data / base state read at call time (see make_spatial_
+        # episode): a later env.reset() is picked up without rebuilding
+        return jitted(params, opt_state, keys, env.data, env.base_state)
+
+    return train_step

@@ -70,6 +70,25 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed + 1)
         self.best_eval_reward = -float("inf")
 
+        if mesh is not None:
+            assert "data" in mesh.axis_names and "lane" in mesh.axis_names, \
+                f"mesh axes {mesh.axis_names} must be ('data', 'lane')"
+            from dhts.apps.control.itscp import spatial as itscp_spatial
+
+            self._train_step = itscp_spatial.make_spatial_train_step(
+                env, self.model, self.opt, mesh, self.obs, self.low,
+                self.high)
+            ep_hard = itscp_spatial.make_spatial_episode(
+                env, mesh, differentiable=False)
+
+            def eval_episode_sharded(params, key):
+                raw = self.model.apply(params, self.obs)
+                action = squash_action(raw, self.low, self.high)
+                return ep_hard(action, key)
+
+            self._eval_episode = eval_episode_sharded
+            return
+
         if multi_scenario:
             B = self.obs.shape[0]
 
@@ -106,25 +125,9 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        if mesh is not None:
-            from dhts.apps.control.itscp import spatial as itscp_spatial
-
-            self._train_step = itscp_spatial.make_spatial_train_step(
-                env, self.model, self.opt, mesh, self.obs, self.low,
-                self.high)
-            ep_hard = itscp_spatial.make_spatial_episode(
-                env, mesh, differentiable=False)
-
-            def eval_episode_sharded(params, key):
-                raw = self.model.apply(params, self.obs)
-                action = squash_action(raw, self.low, self.high)
-                return ep_hard(action, key)
-
-            self._eval_episode = jax.jit(eval_episode_sharded)
-        else:
-            # jit-cached per episodes-per-epoch batch size
-            self._train_step = jax.jit(train_step)
-            self._eval_episode = jax.jit(eval_episode)
+        # jit-cached per episodes-per-epoch batch size
+        self._train_step = jax.jit(train_step)
+        self._eval_episode = jax.jit(eval_episode)
 
     # -- training loop ------------------------------------------------------
 
@@ -151,6 +154,10 @@ class Trainer:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
+                d = self.mesh.shape["data"]
+                assert E % d == 0, (
+                    f"num_episode_per_epoch={E} must divide the mesh's "
+                    f"data axis ({d})")
                 keys = jax.device_put(
                     keys, NamedSharding(self.mesh, PartitionSpec("data")))
             self.params, self.opt_state, loss = self._train_step(

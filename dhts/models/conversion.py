@@ -160,10 +160,7 @@ def apply(spec: SceneSpec, state: "net.NetworkState", delta_time):
                         mic.vid[src, src_slot])
 
     def tail_insert(x, newval):
-        shifted = jnp.concatenate([newval[:, None, ...], x[:, :-1, ...]],
-                                  axis=1)
-        m = has_insert.reshape((L,) + (1,) * (x.ndim - 1))
-        return jnp.where(m, shifted, x)
+        return net.tail_insert_rows(x, newval, has_insert)
 
     micro = mic._replace(
         position=tail_insert(mic.position, new_pos),

@@ -104,6 +104,17 @@ BoundaryFn = Callable[[SceneSpec, NetworkState, bool],
                       tuple[NetworkState, BoundaryValues]]
 
 
+def tail_insert_rows(x, newval, mask):
+    """Masked tail insert on fixed-capacity per-lane rows ``x[L, V, ...]``:
+    shift every slot up by one and write ``newval[L, ...]`` at slot 0 where
+    ``mask[L]``. The queue-packing primitive shared by vehicle injection
+    and the conversion inserts (reference list-insert at index 0,
+    ``_micro_lane.py:53-59``)."""
+    shifted = jnp.concatenate([newval[:, None, ...], x[:, :-1, ...]], axis=1)
+    m = mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 1))
+    return jnp.where(m, shifted, x)
+
+
 def empty_state(spec: SceneSpec, max_vehicles_per_lane: int,
                 max_route_length: int, route_pool) -> NetworkState:
     L, C = spec.num_lanes, spec.max_cells

@@ -125,10 +125,10 @@ def lane_sharded_rollout(spec, mesh: Mesh, delta_time, num_steps,
     n_lane = mesh.shape["lane"]
     assert L % n_lane == 0, f"{L} lanes not divisible by lane axis {n_lane}"
 
+    from dhts.parallel.spatial import lane_pspec
+
     def shard_spec_of(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == L:
-            return NamedSharding(mesh, P("lane", *([None] * (x.ndim - 1))))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, lane_pspec(x, L, "lane"))
 
     def constrain(state):
         return jax.tree.map(

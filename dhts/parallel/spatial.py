@@ -106,16 +106,22 @@ def make_context(spec: SceneSpec, mesh: Mesh,
         u_max=float(spec.speed_limit))
 
 
-def state_partition_specs(state, num_lanes: int, axis_name: str = "lane"):
-    """PartitionSpec pytree for a :class:`NetworkState` (or any pytree):
-    leading-``num_lanes`` arrays shard over ``axis_name``, rest replicate."""
-    def spec_of(x):
-        x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == num_lanes:
-            return P(axis_name, *([None] * (x.ndim - 1)))
-        return P()
+def lane_pspec(x, num_lanes: int, axis_name: str = "lane") -> P:
+    """The one sharding rule for simulation state: arrays whose leading
+    axis is the lane axis shard over ``axis_name``, everything else
+    replicates. Shared by the explicit-collective path here and the
+    compiler-managed :func:`dhts.parallel.mesh.lane_sharded_rollout`."""
+    x = jnp.asarray(x)
+    if x.ndim >= 1 and x.shape[0] == num_lanes:
+        return P(axis_name, *([None] * (x.ndim - 1)))
+    return P()
 
-    return jax.tree.map(spec_of, state)
+
+def state_partition_specs(state, num_lanes: int, axis_name: str = "lane"):
+    """PartitionSpec pytree for a :class:`NetworkState` (or any pytree),
+    via :func:`lane_pspec` per leaf."""
+    return jax.tree.map(lambda x: lane_pspec(x, num_lanes, axis_name),
+                        state)
 
 
 # ---------------------------------------------------------------------------
@@ -198,11 +204,11 @@ def leader_search(ctx: SpatialContext, spec_loc, state_loc, gA):
 # ---------------------------------------------------------------------------
 
 
-def _summary_post(ctx, spec_loc, state_loc, cap_val):
+def _summary_post(ctx, spec_loc, state_loc, cap_val, u):
     """Post-physics summary rows feeding conversion; ``cap_val`` is the
-    local per-lane capacitor value AFTER flux accumulation."""
+    local per-lane capacitor value AFTER flux accumulation, ``u`` the
+    caller's already-computed cell speeds for the same macro state."""
     mac, mic = state_loc.macro, state_loc.micro
-    u = net.macro_cell_u(spec_loc, mac)
     arl = jnp.arange(ctx.l_loc)
     V = mic.position.shape[1]
     last = jnp.clip(spec_loc.num_cell - 1, 0, spec_loc.max_cells - 1)
@@ -323,10 +329,7 @@ def _conversion_local(ctx, spec_loc, state_loc, cap, slot, G, gF, gI,
                         I["head_vid"][src])
 
     def tail_insert(x, newval):
-        shifted = jnp.concatenate([newval[:, None, ...], x[:, :-1, ...]],
-                                  axis=1)
-        m = has_insert.reshape((l_loc,) + (1,) * (x.ndim - 1))
-        return jnp.where(m, shifted, x)
+        return net.tail_insert_rows(x, newval, has_insert)
 
     micro = mic._replace(
         position=tail_insert(mic.position, new_pos),
@@ -389,7 +392,7 @@ def conversion_sharded(ctx: SpatialContext, spec_loc, state_loc, delta_time):
 
     V = state_loc.micro.position.shape[1]
     R = state_loc.micro.route.shape[2]
-    sF, sI, sRoute = _summary_post(ctx, spec_loc, state_loc, cap_val)
+    sF, sI, sRoute = _summary_post(ctx, spec_loc, state_loc, cap_val, u)
     gF, gI, gRoute = ctx.gather(sF), ctx.gather(sI), ctx.gather(sRoute)
     G = _conversion_global(ctx, gF, gI, gRoute, V, R)
     state_loc = _conversion_local(ctx, spec_loc, state_loc, cap, slot, G,
@@ -429,7 +432,10 @@ def make_spatial_step(spec: SceneSpec, mesh: Mesh, delta_time,
         state_loc, n_emit, absorbed = conversion_sharded(
             ctx, spec_loc, state_loc, delta_time)
         diag = net.StepDiagnostics(
-            max_wave_speed=max_wave, num_collisions=n_coll,
+            max_wave_speed=max_wave,
+            # like emitted/absorbed, the collision count is a global
+            # diagnostic (int: no cotangent concerns)
+            num_collisions=lax.psum(n_coll, axis_name),
             emitted=n_emit, absorbed=absorbed)
         return state_loc, diag
 
