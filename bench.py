@@ -82,11 +82,15 @@ def main():
     # pipelined timing: enqueue all repeats, block once — measures device
     # throughput, not the host->device dispatch RTT (which through the
     # sandbox's remote-TPU tunnel is ~24 ms/call, comparable to the whole
-    # fused episode).
+    # fused episode). Keys are materialized on-device BEFORE the clock
+    # starts: a PRNGKey(i) inside the loop is a host->device transfer per
+    # repeat, whose tunnel RTT would bill ~5-7 ms/episode to the device.
     reps = max(args.repeats, 3)
+    rep_keys = [jax.block_until_ready(jax.random.PRNGKey(i))
+                for i in range(reps)]
     t0 = time.perf_counter()
-    for i in range(reps):
-        v, g = grad_fn(action, jax.random.PRNGKey(i))
+    for k in rep_keys:
+        v, g = grad_fn(action, k)
     jax.block_until_ready(g)
     steps_per_sec = T * reps / (time.perf_counter() - t0)
 

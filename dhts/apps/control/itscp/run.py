@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--fused_episode", action="store_true",
                    help="train through the whole-episode Pallas kernels "
                         "(all modes; ~3x macro / ~13x hybrid on TPU)")
+    p.add_argument("--mesh", type=str, default=None, metavar="D,L",
+                   help="train spatially sharded on a 2-D (data, lane) "
+                        "device mesh, e.g. '2,4': the episode batch over "
+                        "D devices, each episode's SCENE over L devices "
+                        "(for grids too large for one chip); lanes must "
+                        "divide L")
     args = p.parse_args(argv)
 
     env = ItscpEnv(config=dict(
@@ -52,13 +58,24 @@ def main(argv=None):
         use_fused_episode=args.fused_episode),
         schedule_fn=PROBLEMS[args.problem])
 
+    mesh = None
+    if args.mesh:
+        from dhts.parallel.mesh import make_mesh
+
+        d, l = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh({"data": d, "lane": l})
+
     run_name = os.path.join(args.log_root,
                             f"{args.mode}_{int(time.time())}")
     for trial in range(args.n_trial):
         env.reset(seed=args.seed + trial if args.seed > 0 else None)
-        trainer = Trainer(env, lr=args.lr, seed=args.seed + trial)
+        trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
+                          mesh=mesh)
         log_path = os.path.join(run_name, f"trial_{trial}")
-        trainer.train(1, args.n_episode + 1,
+        # reference: 1 episode per epoch; in mesh mode, one episode per
+        # data shard per epoch (the batch rides the data axis)
+        ep_per_epoch = mesh.shape["data"] if mesh is not None else 1
+        trainer.train(ep_per_epoch, args.n_episode + 1,
                       max(1, args.n_episode // 10), 1, log_path)
 
 

@@ -156,8 +156,8 @@ class Trainer:
 
                 d = self.mesh.shape["data"]
                 assert E % d == 0, (
-                    f"num_episode_per_epoch={E} must divide the mesh's "
-                    f"data axis ({d})")
+                    f"num_episode_per_epoch={E} must be a multiple of the "
+                    f"mesh's data axis size ({d})")
                 keys = jax.device_put(
                     keys, NamedSharding(self.mesh, PartitionSpec("data")))
             self.params, self.opt_state, loss = self._train_step(
