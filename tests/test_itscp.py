@@ -127,3 +127,33 @@ def test_multi_scenario_training(tmp_path):
     assert np.isfinite(hist).all()
     res = trainer._eval_episode(trainer.params, jax.random.PRNGKey(0))
     assert np.isfinite(float(res.reward))
+
+
+def test_duration_scales_horizon_like_policy_length():
+    """Reference semantics: ``duration`` only scales the horizon and the
+    number of action phases (its ``_simulate`` consumes the whole
+    ``policy_length * duration * sim_freq`` horizon in ONE env.step,
+    ``_env.py:758-768,805``), so duration=2 must be exactly equivalent to
+    a doubled policy_length."""
+    from dhts.apps.control.itscp.env import ItscpEnv
+    from dhts.apps.control.itscp.problem import problem_1
+
+    base = dict(num_intersection=2, num_lane=1, lane_length=10.0,
+                speed_limit=20.0, cell_length=5.0, signal_length=2,
+                simulation_frequency=10, random_seed=3,
+                max_num_micro_vehicle_per_lane=4, mode="micro")
+    env_d = ItscpEnv(config=dict(base, policy_length=4, duration=2),
+                     schedule_fn=problem_1)
+    env_p = ItscpEnv(config=dict(base, policy_length=8, duration=1),
+                     schedule_fn=problem_1)
+    env_d.reset()
+    env_p.reset()
+    assert env_d.num_timestep == env_p.num_timestep == 80
+    assert env_d.action_size() == env_p.action_size()
+    a = jnp.linspace(0.3, 0.7, env_d.action_size())
+    k = jax.random.PRNGKey(5)
+    rd = env_d.episode(a, True, k)
+    rp = env_p.episode(a, True, k)
+    assert float(rd.reward) == pytest.approx(float(rp.reward), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(rd.events_per_step),
+                                  np.asarray(rp.events_per_step))
