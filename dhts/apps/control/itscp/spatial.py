@@ -288,19 +288,13 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
         ~np.asarray(meta.has_prev) & ~np.asarray(spec.is_macro), P_pool,
         0).astype(jnp.int32)
 
-    class Parts:
-        pass
+    from types import SimpleNamespace
 
-    parts = Parts()
-    parts.ctx = ctx
-    parts.local_episode = local_episode
-    parts.specs = specs  # (spec, meta, state0, inj_left0-row, inj_routes)
-    parts.inj_left0 = inj_left0
-    parts.T, parts.L, parts.l_loc = T, L, l_loc
-    parts.n_phases, parts.n_inter = n_phases, n_inter
-    parts.spec, parts.meta, parts.state0, parts.data = spec, meta, state0, \
-        data
-    return parts
+    return SimpleNamespace(
+        ctx=ctx, local_episode=local_episode,
+        specs=specs,  # (spec, meta, state0, inj_left0-row, inj_routes)
+        inj_left0=inj_left0, T=T, L=L, l_loc=l_loc, n_phases=n_phases,
+        n_inter=n_inter, spec=spec, meta=meta)
 
 
 def make_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
