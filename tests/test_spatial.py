@@ -260,3 +260,68 @@ def test_trainer_spatial_mesh_mode(tmp_path):
                     verbose=False)
     assert len(hist) == 2 and all(np.isfinite(h) for h in hist)
     assert (tmp_path / "model.msgpack").exists()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_spatial_rollout_random_scene_parity(seed):
+    """Fuzz: random macro/micro graphs with random routes, vehicles and
+    densities must stay exactly in sync (counts, vids, states) between the
+    sharded and unsharded steps over a long rollout."""
+    rng = np.random.default_rng(seed)
+    b = scene.SceneBuilder(25.0, max_vehicles_per_lane=5,
+                           max_route_length=8, route_pool_size=4)
+    kinds = rng.random(8) < 0.5
+    ids = []
+    for i in range(8):
+        length = float(30.0 + 10.0 * rng.random())
+        ids.append(b.add_macro_lane(length, 5.0) if kinds[i]
+                   else b.add_micro_lane(length))
+    edges = set()
+    for i in range(8):
+        edges.add((i, (i + 1) % 8))
+        j = int(rng.integers(0, 8))
+        if j != i:
+            edges.add((i, j))
+    for i, j in sorted(edges):
+        b.connect(ids[i], ids[j])
+    spec, state = b.build(rng)
+    mn, mp = b.random_macro_route(rng)
+    state = state._replace(macro_next=jnp.asarray(mn),
+                           macro_prev=jnp.asarray(mp))
+    for i in range(8):
+        if kinds[i]:
+            n = int(spec.num_cell[i])
+            state = network.set_macro_lane_state(
+                state, i, jnp.asarray(rng.uniform(0.2, 0.6, n),
+                                      jnp.float32),
+                jnp.asarray(rng.uniform(5.0, 15.0, n), jnp.float32), spec)
+        elif rng.random() < 0.8:
+            nv = int(rng.integers(1, 3))
+            pos = jnp.asarray(np.sort(rng.uniform(2.0, 25.0, nv)) +
+                              np.arange(nv) * 7.0, jnp.float32)
+            vel = jnp.asarray(rng.uniform(3.0, 10.0, nv), jnp.float32)
+            R = state.micro.route.shape[2]
+            routes = np.full((nv, R), -1, np.int32)
+            for v in range(nv):
+                rt = b.random_route(i, rng)
+                routes[v, :len(rt)] = rt
+            state = network.set_micro_lane_vehicles(
+                state, i, pos, vel, routes=jnp.asarray(routes), spec=spec)
+
+    mesh = spatial.Mesh(np.asarray(jax.devices()[:4]), ("lane",))
+    sharded = spatial.make_spatial_rollout(spec, mesh, 0.04, 100)
+    s_final, _ = sharded(state)
+    u_final, _ = unsharded_rollout(spec, 0.04, 100)(state)
+
+    np.testing.assert_array_equal(np.asarray(s_final.micro.count),
+                                  np.asarray(u_final.micro.count))
+    np.testing.assert_array_equal(np.asarray(s_final.micro.vid),
+                                  np.asarray(u_final.micro.vid))
+    np.testing.assert_allclose(np.asarray(s_final.macro.r),
+                               np.asarray(u_final.macro.r), rtol=1e-5,
+                               atol=1e-6)
+    act = np.asarray(u_final.micro.active)
+    np.testing.assert_allclose(np.asarray(s_final.micro.position)[act],
+                               np.asarray(u_final.micro.position)[act],
+                               rtol=1e-5, atol=1e-5)
+    assert int(s_final.veh_counter) == int(u_final.veh_counter)
