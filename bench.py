@@ -121,5 +121,25 @@ def main():
     return 0
 
 
+def _main_with_retry():
+    """The sandbox's remote-TPU tunnel occasionally wedges mid-run; a fresh
+    process (fresh backend) is the reliable recovery. Re-exec ourselves
+    once before giving up so a transient tunnel failure doesn't lose the
+    round's benchmark record."""
+    import os
+    import traceback
+
+    try:
+        return main()
+    except Exception:
+        if os.environ.get("DHTS_BENCH_RETRIED") is None:
+            traceback.print_exc()
+            print("bench failed; retrying once in a fresh process",
+                  file=sys.stderr)
+            os.environ["DHTS_BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
