@@ -155,7 +155,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
             rank = jnp.cumsum(inject.astype(jnp.int32)) - 1
             new_vid = jnp.where(inject, state.veh_counter + rank, -1)
             from dhts.models.vehicle import default_params
-            dflt = default_params(spec.speed_limit, (L,))
+            dflt = default_params(spec.speed_limit, (L,), veh_len)
 
             def tail_insert(x, newval):
                 return network.tail_insert_rows(x, newval, inject)

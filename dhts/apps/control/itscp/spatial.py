@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dhts.apps.control.itscp.env import EpisodeResult, lane_signals
 from dhts.models import network
-from dhts.models.vehicle import DEFAULT_VEHICLE_LENGTH, default_params
+from dhts.models.vehicle import default_params
 from dhts.ops import arz
 from dhts.ops.dmath import soft_sigmoid
 from dhts.parallel import spatial as sp
@@ -110,8 +110,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
         gA = gA.at[:, 4].add(g_inj.astype(jnp.float32))
         gA = gA.at[:, 5].set(jnp.where(g_inj, 0.0, gA[:, 5]))
         gA = gA.at[:, 6].set(jnp.where(g_inj, 0.0, gA[:, 6]))
-        gA = gA.at[:, 7].set(jnp.where(g_inj, DEFAULT_VEHICLE_LENGTH,
-                                       gA[:, 7]))
+        gA = gA.at[:, 7].set(jnp.where(g_inj, veh_len, gA[:, 7]))
 
         # ---- apply injection locally (globally-consistent vids) -----------
         if not all_macro:
@@ -121,7 +120,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
             pool_idx = jnp.clip(Pp - inj_left, 0, Pp - 1)
             new_route = inj_routes[arl, pool_idx]
             new_vid = jnp.where(inject, state.veh_counter + rank_l, -1)
-            dflt = default_params(spec_loc.speed_limit, (l_loc,))
+            dflt = default_params(spec_loc.speed_limit, (l_loc,), veh_len)
 
             def tail_insert(x, newval):
                 return network.tail_insert_rows(x, newval, inject)

@@ -96,7 +96,13 @@ class Network:
     def add_vehicles(self, lane_id: int, positions, speeds, routes=None,
                      params: Optional[VehicleParams] = None):
         """Place vehicles on a micro lane (reference ``add_vehicle``;
-        ``routes`` defaults to random routes from ``lane_id``)."""
+        ``routes`` defaults to random routes from ``lane_id``).
+
+        Explicit routes are validated against the lane graph: event
+        arbitration resolves lane transfers over each destination's
+        predecessor list (``conversion.apply``), so a route hop that is
+        not a ``connect()`` edge could never be taken — the vehicle would
+        stall at the lane end forever. Fail loudly here instead."""
         positions = jnp.asarray(positions, jnp.float32)
         speeds = jnp.asarray(speeds, jnp.float32)
         n = positions.shape[0]
@@ -107,6 +113,18 @@ class Network:
                 rt = self.builder.random_route(lane_id, self.rng)
                 rows.append(rt + [-1] * (R - len(rt)))
             routes = jnp.asarray(rows, jnp.int32)
+        else:
+            routes = jnp.asarray(routes, jnp.int32)
+            nxt = np.asarray(self.spec.next_lanes)
+            for row in np.asarray(routes):
+                hops = [int(x) for x in row if int(x) >= 0]
+                for a, b in zip(hops, hops[1:]):
+                    if b not in nxt[a]:
+                        raise ValueError(
+                            f"route hop {a}->{b} is not a lane-graph edge; "
+                            f"a vehicle routed this way would stall at the "
+                            f"end of lane {a} (successors: "
+                            f"{[int(x) for x in nxt[a] if x >= 0]})")
         self._apply(lambda s: net_mod.set_micro_lane_vehicles(
             s, lane_id, positions, speeds, routes=routes, params=params,
             spec=self.spec))

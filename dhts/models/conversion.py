@@ -134,7 +134,7 @@ def apply(spec: SceneSpec, state: "net.NetworkState", delta_time):
     src_slot = head["slot"][src]
     g = lambda x: x[src, src_slot]  # gather a [L, V] field at source heads
 
-    defaults = default_params(spec.speed_limit, (L,))
+    defaults = default_params(spec.speed_limit, (L,), veh_len)
     emit_a = grad_carrier(jnp.full((L,), veh_len, jnp.float32), cap_val)[src]
 
     new_pos = jnp.where(is_emit, 0.0, head["position"][src] -

@@ -34,15 +34,20 @@ class VehicleParams(NamedTuple):
     a: jax.Array
 
 
-def default_params(speed_limit, shape=()) -> VehicleParams:
+def default_params(speed_limit, shape=(),
+                   vehicle_length=DEFAULT_VEHICLE_LENGTH) -> VehicleParams:
     """Deterministic speed-limit-scaled parameters.
 
     Parity: reference ``MicroVehicle.default_micro_vehicle``
     (``road/vehicle/micro_vehicle.py:30-72``): a_max = v_lim, a_pref =
     0.8 v_lim, v_target = 0.9 v_lim, min_space = 0.1 len, time_pref = 0.1.
+    The reference hard-pins vehicle length to DEFAULT_VEHICLE_LENGTH
+    (``road_network.py:29,60``); dhts scenes may configure it, so event
+    code passes ``spec.vehicle_length`` to keep created vehicles
+    consistent with the flux-capacitor threshold and free-space checks.
     """
     full = lambda v: jnp.full(shape, v, jnp.float32)
-    length = full(DEFAULT_VEHICLE_LENGTH)
+    length = full(vehicle_length)
     return VehicleParams(
         accel_max=full(speed_limit * 1.0),
         accel_pref=full(speed_limit * 0.8),

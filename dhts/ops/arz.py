@@ -183,6 +183,11 @@ def riemann_solve(r_l, y_l, u_l, r_r, u_r, u_max) -> RiemannSolution:
     vac_m = ~(taken | rare)
 
     # --- wave speeds per case
+    # NB the EPSILON denominator clamp under-reports the speed of marginal
+    # shocks (|u_l - u_r| just above EPSILON): the true limit is lam0_l.
+    # This is EXACT parity with the reference (`max(Q_m.q.r - Q_L.q.r,
+    # EPSILON)`, _arz.py:265) and only affects the CFL diagnostic in that
+    # narrow band — case selection uses the (sign-preserved) quotient.
     shock_speed = (flux_r_m - r_l * u_l) / jnp.maximum(r_m - r_l, EPSILON)
     half_lam_m = (lam0_l + lam0_m) * 0.5
     half_lam_vac = (lam0_l + u_vac) * 0.5

@@ -512,21 +512,28 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
 
         # inserts: ALL per-src fields (head state, 6 params at the pre-
-        # removal head slot, cursor, route rows) in ONE [12+R, Lp] matmul
+        # removal head slot, cursor, route rows) in ONE [14+R, Lp] matmul
         has_ins = best < Lp
         src = jnp.clip(best, 0, Lp - 1)
         oh_prev_head = head_oh(count + remove.astype(jnp.int32))
+        # the emitted vehicle's ancillary mass: value veh_len, gradient of
+        # the source lane's flux capacitor (the reference's nv.a trick,
+        # conversion.py:62; scan model dmath.grad_carrier). The one-hot
+        # gather is exact, so the value stays exactly veh_len while the
+        # matmul transpose routes the cotangent back into cap.
+        emit_carrier = veh_len + cap_val - jax.lax.stop_gradient(cap_val)
         src_rows = [cn["is_macro"], hv_pos, cn["length"], u_last, hv_vel,
                     hv_a, ridx_h.astype(jnp.float32)]
         src_rows += [pick_v(arrp, oh_prev_head)
                      for arrp in (p_amax, p_apref, p_vt, p_ms, p_tp, p_len)]
+        src_rows.append(emit_carrier)
         src_rows.append(route_h.astype(jnp.float32))  # [R, Lp]
         gs = gather_rows(src_rows, src)
         src_is_macro = gs[0:1] > 0.5
         is_emit_d = has_ins & src_is_macro
         new_pos_d = jnp.where(is_emit_d, 0.0, gs[1:2] - gs[2:3])
         new_vel_d = jnp.where(is_emit_d, gs[3:4], gs[4:5])
-        new_a_d = jnp.where(is_emit_d, veh_len, gs[5:6])
+        new_a_d = jnp.where(is_emit_d, gs[13:14], gs[5:6])
         newp = {}
         for i, name in enumerate(("accel_max", "accel_pref", "target_speed",
                                   "min_space", "time_pref", "length")):
@@ -536,7 +543,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 == (cursor % P_emit)[None]).astype(jnp.float32))
         pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
                              axis=0)  # [R, Lp]
-        src_route = gs[13:]  # [R, Lp]
+        src_route = gs[14:]  # [R, Lp]
         new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
             jnp.int32)
         new_ridx_d = jnp.where(

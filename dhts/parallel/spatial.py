@@ -307,7 +307,7 @@ def _conversion_local(ctx, spec_loc, state_loc, cap, slot, G, gF, gI,
     has_insert = sl(G["has_insert"])
     src = sl(G["src"])  # global source lane ids
     is_emit = sl(G["is_emit"])
-    defaults = default_params(ctx.u_max, (l_loc,))
+    defaults = default_params(ctx.u_max, (l_loc,), ctx.veh_len)
     emit_a = grad_carrier(jnp.full((L,), ctx.veh_len, jnp.float32),
                           gF[:, _POSTF.index("cap_val")])[src]
     new_pos = jnp.where(is_emit, 0.0, F["head_pos"][src] - ctx.length_g[src])

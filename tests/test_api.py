@@ -1,6 +1,7 @@
 """User-facing imperative API facade: reference-style workflow."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from dhts.models.api import Network
@@ -38,3 +39,23 @@ def test_add_vehicles_before_finalize():
     net.rollout(0.02, 50)
     pos, spd = net.vehicles(l0)
     assert float(pos[0]) > 10.0
+
+
+def test_add_vehicles_rejects_off_graph_route():
+    """A route hop that is not a connect() edge can never be taken by the
+    transfer arbitration (it scans the destination's predecessor list), so
+    the API fails loudly instead of letting the vehicle stall forever."""
+    from dhts.models.api import Network
+
+    net = Network(speed_limit=30.0)
+    a = net.add_micro_lane(30.0)
+    b = net.add_micro_lane(30.0)
+    c = net.add_micro_lane(30.0)
+    net.connect_lane(a, b)
+    net.finalize()
+    R = net.builder.R
+    pad = lambda rt: [rt + [-1] * (R - len(rt))]
+    with pytest.raises(ValueError, match="not a lane-graph edge"):
+        net.add_vehicles(a, [5.0], [10.0], routes=pad([a, c]))
+    # the valid edge is accepted
+    net.add_vehicles(a, [5.0], [10.0], routes=pad([a, b]))
