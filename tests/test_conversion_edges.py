@@ -144,3 +144,29 @@ def test_simultaneous_head_exit_and_tail_insert_same_lane():
     assert int(s1.micro.vid[l1, 0]) == 0
     assert float(s1.micro.position[l1, 0]) == pytest.approx(0.2 + 15.0*0.02,
                                                             abs=1e-4)
+
+
+def test_emission_uses_scene_vehicle_length():
+    """A scene with a non-default vehicle_length must emit vehicles whose
+    length matches the capacitor threshold (reference pins both to the
+    default; dhts scenes may configure it)."""
+    b = scene.SceneBuilder(30.0, vehicle_length=4.0, max_vehicles_per_lane=4)
+    m = b.add_macro_lane(50.0, 5.0)
+    d = b.add_micro_lane(200.0)
+    b.connect(m, d)
+    spec, state = b.build(np.random.default_rng(0))
+    state = state._replace(
+        macro_next=jnp.asarray([d, -1], jnp.int32),
+        macro_prev=jnp.asarray([-1, m], jnp.int32))
+    state = network.set_macro_lane_state(
+        state, m, jnp.full(10, 0.4), jnp.full(10, 12.0), spec)
+    final, (emitted, _) = _roll(spec, state, 0.05, 200)
+    assert int(jnp.sum(emitted)) >= 1, "no emission: test is vacuous"
+    cnt = int(final.micro.count[d])
+    assert cnt >= 1
+    lengths = np.asarray(final.micro.params.length[d, :cnt])
+    np.testing.assert_allclose(lengths, 4.0)
+    a_vals = np.asarray(final.micro.params.a[d, :cnt])
+    # ancillary mass == length up to the (len + cap) - cap rounding the
+    # reference itself performs (conversion.py:62)
+    np.testing.assert_allclose(a_vals, 4.0, rtol=1e-6)
