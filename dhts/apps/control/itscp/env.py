@@ -383,7 +383,11 @@ class ItscpEnv:
 
     def action_size(self):
         c = self.config
-        n_phases = (c["policy_length"] * c["duration"]) // c["signal_length"]
+        # max(1, ...): same guard every episode builder applies, so a
+        # policy_length shorter than signal_length still yields one phase
+        # instead of a size-0 action that breaks the episode reshape
+        n_phases = max(1, (c["policy_length"] * c["duration"]) //
+                       c["signal_length"])
         return n_phases * c["num_intersection"] ** 2
 
     def observation_size(self):
@@ -413,8 +417,21 @@ class ItscpEnv:
                 inter=jnp.asarray(self.grid.intersection),
                 has_prev=jnp.asarray(
                     np.asarray(self.spec.num_prev) > 0))
+        else:
+            # consume the same leading rng draws as the first-call build
+            # (builder.build = build_spec + build_route_pool) so that
+            # reset(seed) is idempotent — the same seed yields the same
+            # scenario whether or not the grid already exists — and the
+            # emission route pool is freshly drawn per episode like the
+            # reference's np.random-at-event-time (conversion.py:72)
+            self.base_state = self.base_state._replace(
+                route_pool=self.grid.builder.build_route_pool(rng))
 
         T = self.num_timestep
+        assert T >= self.config["num_schedule_obs"], (
+            f"horizon T={T} shorter than num_schedule_obs="
+            f"{self.config['num_schedule_obs']}: observation windows would "
+            f"be empty (NaN observations)")
         locs = [k.loc for k in self.grid.keys]
         self.schedule = self.schedule_fn(locs, T, rng)
 
@@ -492,6 +509,14 @@ class ItscpEnv:
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
     def _fused_hybrid_episode(self, action, key) -> EpisodeResult:
+        run_one = self._fused_episode_one()
+        return run_one(jnp.asarray(action), self.data, key)
+
+    def _fused_episode_one(self):
+        """Build (or reuse) the fused kernel and return
+        ``one(action_flat, data, key) -> EpisodeResult`` — vmappable over
+        a scenario batch (the kernel shares the emission route pool across
+        scenarios, like the scan batch path)."""
         from dhts.ops.pallas.itscp_hybrid_episode import \
             make_fused_itscp_episode
 
@@ -508,23 +533,28 @@ class ItscpEnv:
                 self.spec, self.meta, self.config, V, R, P, P2,
                 differentiable=True, window=win)
             self._fused_win = win
+        fn = self._fused_hyb_fn
         c = self.config
         n_phases = max(1, (c["policy_length"] * c["duration"]) //
                        c["signal_length"])
         T, L = self.num_timestep, self.spec.num_lanes
-        rand = jax.random.uniform(key, (T, L))  # same draw as the scan path
-        reward, queues, events = self._fused_hyb_fn(
-            jnp.asarray(action).reshape(n_phases, -1), self.data.schedule,
-            self.data.mroute_next, self.data.mroute_prev, rand,
-            self.data.inj_routes, self.base_state.route_pool,
-            with_events=True)
-        ev = events[:, :3].astype(jnp.int32)
-        return EpisodeResult(reward=reward, queue_per_step=queues,
-                             emitted=jnp.sum(ev[:, 1]),
-                             absorbed=jnp.sum(ev[:, 2]),
-                             injected=jnp.sum(ev[:, 0]),
-                             max_wave_speed=jnp.zeros(()),
-                             events_per_step=ev)
+        pool = self.base_state.route_pool
+
+        def one(action_flat, data, key, pool=pool):
+            rand = jax.random.uniform(key, (T, L))  # same draw as the scan
+            reward, queues, events = fn(
+                action_flat.reshape(n_phases, -1), data.schedule,
+                data.mroute_next, data.mroute_prev, rand, data.inj_routes,
+                pool, with_events=True)
+            ev = events[:, :3].astype(jnp.int32)
+            return EpisodeResult(reward=reward, queue_per_step=queues,
+                                 emitted=jnp.sum(ev[:, 1]),
+                                 absorbed=jnp.sum(ev[:, 2]),
+                                 injected=jnp.sum(ev[:, 0]),
+                                 max_wave_speed=jnp.max(events[:, 7]),
+                                 events_per_step=ev)
+
+        return one
 
     # -- multi-scenario batching (no reference counterpart) -----------------
 
@@ -537,18 +567,28 @@ class ItscpEnv:
         of traffic schedules in a single device program (and shards over a
         mesh data axis). Returns per-scenario observations ``[B, obs]``."""
         base_seed = (self.config["random_seed"] if seed is None else seed)
-        datas, obss = [], []
+        datas, obss, wins = [], [], []
         for i in range(batch):
             obss.append(self.reset(seed=base_seed + i if base_seed > 0
                                    else None))
             datas.append(self.data)
+            wins.append(self._fused_win_needed)
         self.batch_data = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
         self.batch_obs = np.stack(obss)
+        # the fused kernel's leader window must cover EVERY scenario's
+        # pools, not just the last reset's
+        self._fused_win_needed = max(wins)
         return self.batch_obs
 
     def episode_batch(self, actions, differentiable: bool, keys):
         """Vmapped episodes over the scenario batch: ``actions`` [B, n_act],
-        ``keys`` [B, 2] -> EpisodeResult with leading batch axis."""
+        ``keys`` [B, 2] -> EpisodeResult with leading batch axis. Honors
+        ``config["use_fused_episode"]`` like the single-scenario path (one
+        fused kernel instance per scenario under vmap)."""
+        if differentiable and self.config.get("use_fused_episode"):
+            one = self._fused_episode_one()
+            return jax.vmap(one)(jnp.asarray(actions), self.batch_data,
+                                 keys)
         fn = self._episode_soft if differentiable else self._episode_hard
         return jax.vmap(lambda a, d, k: fn(a, d, self.base_state, k))(
             jnp.asarray(actions), self.batch_data, keys)

@@ -89,45 +89,72 @@ class Trainer:
             self._eval_episode = eval_episode_sharded
             return
 
+        # The per-episode data (schedules, routes, pools, base state) is
+        # threaded through the jits as ARGUMENTS read from env at call
+        # time, so an env.reset() after Trainer construction is honored —
+        # closing over env.episode would bake them in as trace-time
+        # constants (the mesh path above does the same via its builders).
+        if env.config.get("use_fused_episode"):
+            # built lazily at trace time so construction order vs reset()
+            # doesn't matter (NB like any jit constant, the kernel's
+            # leader-search window pins at first trace)
+            soft_ep = lambda a, data, state0, k: env._fused_episode_one()(
+                a, data, k, state0.route_pool)
+        else:
+            soft_ep = lambda a, data, state0, k: env._episode_soft(
+                a, data, state0, k)
+        hard_ep = lambda a, data, state0, k: env._episode_hard(
+            a, data, state0, k)
+
         if multi_scenario:
             B = self.obs.shape[0]
 
-            def loss_fn(params, keys):
+            def loss_fn(params, keys, batch_data, state0):
                 raw = jax.vmap(lambda o: self.model.apply(params, o))(
                     self.obs)
                 actions = squash_action(raw, self.low, self.high)
-                res = env.episode_batch(actions, True, keys)
-                return -jnp.mean(res.reward)
+                r = jax.vmap(lambda a, d, k: soft_ep(a, d, state0, k).reward
+                             )(actions, batch_data, keys)
+                return -jnp.mean(r)
 
-            def eval_episode(params, key):
+            def eval_episode(params, key, batch_data, state0):
                 raw = jax.vmap(lambda o: self.model.apply(params, o))(
                     self.obs)
                 actions = squash_action(raw, self.low, self.high)
-                res = env.episode_batch(actions, False,
-                                        jax.random.split(key, B))
+                res = jax.vmap(lambda a, d, k: hard_ep(a, d, state0, k))(
+                    actions, batch_data, jax.random.split(key, B))
                 return res._replace(reward=jnp.mean(res.reward))
+
+            data_of_env = lambda: env.batch_data
         else:
-            def loss_fn(params, keys):
+            def loss_fn(params, keys, data, state0):
                 raw = self.model.apply(params, self.obs)
                 action = squash_action(raw, self.low, self.high)
                 rewards = jax.vmap(
-                    lambda k: env.episode(action, True, k).reward)(keys)
+                    lambda k: soft_ep(action, data, state0, k).reward)(keys)
                 return -jnp.mean(rewards)
 
-            def eval_episode(params, key):
+            def eval_episode(params, key, data, state0):
                 raw = self.model.apply(params, self.obs)
                 action = squash_action(raw, self.low, self.high)
-                return env.episode(action, False, key)
+                return hard_ep(action, data, state0, key)
 
-        def train_step(params, opt_state, keys):
-            loss, grads = jax.value_and_grad(loss_fn)(params, keys)
+            data_of_env = lambda: env.data
+
+        def train_step(params, opt_state, keys, data, state0):
+            loss, grads = jax.value_and_grad(loss_fn)(params, keys, data,
+                                                      state0)
             updates, opt_state = self.opt.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         # jit-cached per episodes-per-epoch batch size
-        self._train_step = jax.jit(train_step)
-        self._eval_episode = jax.jit(eval_episode)
+        _step = jax.jit(train_step)
+        _eval = jax.jit(eval_episode)
+        self._train_step = lambda p, o, k: _step(p, o, k, data_of_env(),
+                                                 env.base_state)
+        self._eval_episode = lambda p, k: _eval(p, k, data_of_env(),
+                                                env.base_state)
 
     # -- training loop ------------------------------------------------------
 
@@ -187,7 +214,12 @@ class Trainer:
             from dhts.apps.control.itscp.render import save_gif
             from dhts.apps.control.controller import squash_action
 
-            raw = self.model.apply(self.params, self.obs)
+            # multi-scenario: render the LAST scenario (env.data holds its
+            # episode data after reset_batch), with its own observation —
+            # a [B, obs] batch would produce a [B, n_act] action that
+            # env.replay cannot consume
+            obs = self.obs[-1] if self.multi_scenario else self.obs
+            raw = self.model.apply(self.params, obs)
             action = squash_action(raw, self.low, self.high)
             _, frames = self.env.replay(action, self.key)
             rdir = os.path.join(log_path, "eval_render")

@@ -33,7 +33,8 @@ class MicroInverseProblem(InverseProblem):
                          speed_limit, run_name, gd_lr=gd_lr, **kw)
         self.num_vehicle = num_vehicle
         self.vehicle_length = vehicle_length
-        self.params = default_params(speed_limit, (num_vehicle,))
+        self.params = default_params(speed_limit, (num_vehicle,),
+                                     vehicle_length)
         self.active = jnp.ones(num_vehicle, bool)
         self.use_pallas = use_pallas
         self._fused_cache = {}

@@ -403,6 +403,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rr_ = jnp.concatenate([r, br_r], axis=0)
         ur_ = jnp.concatenate([u, br_u], axis=0)
         sol = arz.riemann_solve(rl, yl, ul, rr_, ur_, u_max)
+        # CFL diagnostic, same plateau-masked definition as the scan path
+        # (godunov_step max over interfaces; micro lanes excluded)
+        max_wave = jnp.max(jnp.maximum(jnp.abs(sol.speed0),
+                                       jnp.abs(sol.speed1)) * cn["is_macro"])
         fr = sol.r0 * sol.u0
         fy = sol.y0 * sol.u0
         new_r = jnp.where(cn["cmask"] > 0, r + (fr[:-1] - fr[1:]) * cn["coef"],
@@ -622,7 +626,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         f32sum(exit_none | dep_win),
                         f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
                         f32sum(dep_win), f32sum(remove),
-                        jnp.zeros(())]).reshape(1, 8)
+                        jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
         return carry, queue, ev
 
     # =====================================================================
@@ -869,8 +873,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             pad_t(mprev.astype(jnp.int32), -1),
             pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p)
         if with_events:
-            # [T, 8] per-step event counts: injected, emitted, absorbed,
-            # transferred, transfer wins, deposit wins, removals, pad
+            # [T, 8] per-step rows: injected, emitted, absorbed,
+            # transferred, transfer wins, deposit wins, removals,
+            # max wave speed (CFL diagnostic)
             return -qsum, queues, events
         return -qsum, queues
 

@@ -65,17 +65,21 @@ class CmaEs:
         if not self._eig_fresh:
             self._decompose()
         z = self.rng.standard_normal((self.popsize, self.n))
-        self._y = z @ np.diag(self.D) @ self.B.T  # y ~ N(0, C)
-        x = self.mean + self.sigma * self._y
-        if self.lower is not None:
-            x = np.clip(x, self.lower, self.upper)
-            # keep y consistent with the projected x for the update
-            self._y = (x - self.mean) / self.sigma
+        y = z @ np.diag(self.D) @ self.B.T  # y ~ N(0, C)
+        x = self.mean + self.sigma * y
+        if self.lower is not None or self.upper is not None:
+            x = np.clip(x, self.lower, self.upper)  # np.clip accepts None
         return x
 
     def tell(self, solutions, fitness):
+        """Rank ``solutions`` by ``fitness`` and update the distribution.
+
+        The update is computed from the passed ``solutions`` (not a cached
+        population), so callers may clip/repair/re-order candidates between
+        ``ask`` and ``tell`` — the standard ask/tell contract."""
+        y_all = (np.asarray(solutions, np.float64) - self.mean) / self.sigma
         order = np.argsort(fitness)
-        y_sel = self._y[order[: self.mu]]
+        y_sel = y_all[order[: self.mu]]
         y_w = self.weights @ y_sel
         self.mean = self.mean + self.sigma * y_w
 
@@ -97,6 +101,7 @@ class CmaEs:
             (np.linalg.norm(self.ps) / self.chi_n - 1))
         self.sigma = float(np.clip(self.sigma, 1e-12, 1e6))
         self._eig_fresh = False
+        self._gen += 1
 
     _gen = 1
 
@@ -115,8 +120,7 @@ class CmaEs:
         while len(history) < num_evaluations:
             xs = self.ask()
             fs = np.asarray(batch_objective(xs), np.float64)
-            self.tell(xs, fs)
-            self._gen += 1
+            self.tell(xs, fs)  # advances _gen
             history.extend(fs.tolist())
             asked.extend(xs.tolist())
             i = int(np.argmin(fs))

@@ -157,3 +157,64 @@ def test_duration_scales_horizon_like_policy_length():
     assert float(rd.reward) == pytest.approx(float(rp.reward), rel=1e-6)
     np.testing.assert_array_equal(np.asarray(rd.events_per_step),
                                   np.asarray(rp.events_per_step))
+
+
+def _small_cfg(**kw):
+    cfg = dict(num_intersection=2, num_lane=1, lane_length=10.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=4,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="micro")
+    cfg.update(kw)
+    return cfg
+
+
+def test_reset_seed_is_idempotent():
+    """reset(seed) must yield the same scenario whether or not the grid
+    was already built (the first call consumes extra draws for the route
+    pool; repeat calls consume the same ones)."""
+    env = ItscpEnv(config=_small_cfg(), schedule_fn=problem_1)
+    o1 = env.reset(seed=5)
+    d1, pool1 = env.data, env.base_state.route_pool
+    o2 = env.reset(seed=5)
+    d2, pool2 = env.data, env.base_state.route_pool
+    np.testing.assert_array_equal(o1, o2)
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(pool1), np.asarray(pool2))
+    # and a different seed yields a different scenario
+    env.reset(seed=6)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(env.data), jax.tree.leaves(d1)))
+
+
+def test_episode_batch_honors_fused_flag():
+    """episode_batch must run the fused kernel when configured, matching
+    the scan batch path per scenario."""
+    env_s = ItscpEnv(config=_small_cfg(), schedule_fn=problem_1)
+    env_s.reset_batch(3, seed=11)
+    env_f = ItscpEnv(config=_small_cfg(use_fused_episode=True),
+                     schedule_fn=problem_1)
+    env_f.reset_batch(3, seed=11)
+    actions = jnp.stack([jnp.full(env_s.action_size(), a)
+                         for a in (0.3, 0.5, 0.7)])
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    rs = env_s.episode_batch(actions, True, keys)
+    rf = env_f.episode_batch(actions, True, keys)
+    np.testing.assert_allclose(np.asarray(rf.reward), np.asarray(rs.reward),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(rf.events_per_step),
+                                  np.asarray(rs.events_per_step))
+
+
+def test_trainer_honors_env_reset():
+    """The trainer's jitted paths read the episode data at call time: an
+    env.reset() between epochs changes what is simulated."""
+    env = ItscpEnv(config=_small_cfg(), schedule_fn=problem_1)
+    env.reset(seed=5)
+    tr = Trainer(env, network_size=(8, 8), lr=1e-2, seed=0)
+    k = jax.random.PRNGKey(9)
+    r1 = float(tr._eval_episode(tr.params, k).reward)
+    env.reset(seed=31)  # new schedule / pools, same shapes
+    r2 = float(tr._eval_episode(tr.params, k).reward)
+    assert r1 != r2, "trainer kept simulating the stale episode data"
