@@ -129,26 +129,21 @@ class InverseProblem:
 
     # -- solvers ----------------------------------------------------------
 
-    def solve_gd(self, est0, progress: Callable | None = None):
-        """Adam on simulator gradients; box-projected after each step.
-
-        TPU-first: the ENTIRE optimization — ``num_episode`` x (rollout,
-        backward, Adam update, box projection) — is one ``lax.scan`` inside
-        one jitted device program, vs the reference's per-episode Python
-        loop re-taping 500 graph steps (``_inverse.py:185-242``).
-        """
-        assert optax is not None, "optax required for solve_gd"
+    def _gd_solver(self, grad_fn):
+        """Shared Adam-on-simulator-gradients scan: ``fn(est) -> (est,
+        begs, ends)`` with ``num_episode`` x (rollout, backward, Adam
+        update, box projection) as ONE ``lax.scan``. ``grad_fn(est) ->
+        (end_error, grads)`` supplies the gradient (solve_gd uses the
+        problem's fused/custom path, restarts a plain value_and_grad)."""
         opt = optax.adam(self.gd_lr)
-        est = jax.tree.map(jnp.asarray, est0)
         lb, ub = self.bounds()
         true_state = self.true_state
 
-        @jax.jit
         def run(est):
             def episode(carry, _):
                 est, opt_state = carry
                 beg = self.state_error(true_state, est)
-                val, grads = self._end_error_grad(est)
+                val, grads = grad_fn(est)
                 updates, opt_state = opt.update(grads, opt_state)
                 est = optax.apply_updates(est, updates)
                 est = jax.tree.map(jnp.clip, est, lb, ub)
@@ -159,6 +154,19 @@ class InverseProblem:
                 length=self.num_episode)
             return est, begs, ends
 
+        return run
+
+    def solve_gd(self, est0, progress: Callable | None = None):
+        """Adam on simulator gradients; box-projected after each step.
+
+        TPU-first: the ENTIRE optimization — ``num_episode`` x (rollout,
+        backward, Adam update, box projection) — is one ``lax.scan`` inside
+        one jitted device program, vs the reference's per-episode Python
+        loop re-taping 500 graph steps (``_inverse.py:185-242``).
+        """
+        assert optax is not None, "optax required for solve_gd"
+        est = jax.tree.map(jnp.asarray, est0)
+        run = jax.jit(self._gd_solver(self._end_error_grad))
         est, begs, ends = run(est)
         if progress:
             progress("GD", self.num_episode - 1, float(ends[-1]))
@@ -175,26 +183,9 @@ class InverseProblem:
         restart axis ``[B, n]``. Returns ``(beg[B, E], end[B, E], best_est)``.
         """
         assert optax is not None, "optax required for solve_gd_restarts"
-        opt = optax.adam(self.gd_lr)
-        lb, ub = self.bounds()
-        true_state = self.true_state
-
-        def run_one(est):
-            def episode(carry, _):
-                est, opt_state = carry
-                beg = self.state_error(true_state, est)
-                val, grads = jax.value_and_grad(
-                    lambda e: self.state_error(
-                        self.target_end, self.end_state_of(e, True)))(est)
-                updates, opt_state = opt.update(grads, opt_state)
-                est = optax.apply_updates(est, updates)
-                est = jax.tree.map(jnp.clip, est, lb, ub)
-                return (est, opt_state), (beg, val)
-
-            (est, _), (begs, ends) = jax.lax.scan(
-                episode, (est, opt.init(est)), None, length=self.num_episode)
-            return est, begs, ends
-
+        run_one = self._gd_solver(jax.value_and_grad(
+            lambda e: self.state_error(self.target_end,
+                                       self.end_state_of(e, True))))
         ests, begs, ends = jax.jit(jax.vmap(run_one))(
             jax.tree.map(jnp.asarray, est0_batch))
         final = np.asarray(ends[:, -1])
