@@ -45,7 +45,6 @@ def test_add_vehicles_rejects_off_graph_route():
     """A route hop that is not a connect() edge can never be taken by the
     transfer arbitration (it scans the destination's predecessor list), so
     the API fails loudly instead of letting the vehicle stall forever."""
-    from dhts.models.api import Network
 
     net = Network(speed_limit=30.0)
     a = net.add_micro_lane(30.0)

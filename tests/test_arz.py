@@ -66,15 +66,23 @@ def test_riemann_matches_oracle_all_cases():
     got = jax.tree.map(np.asarray, sol)
 
     cases_seen = set()
+    checked = 0
     for i in range(n):
         ref = oracles.riemann(float(r_l[i]), float(y_l[i]), float(r_r[i]),
                               float(y_r[i]), u_max)
         cases_seen.add(ref["case"])
-        # Skip knife-edge inputs where float32 vs float64 flips the branch.
+        # Skip knife-edge inputs where float32 vs float64 flips the branch
+        # — but NOT the deliberately constructed exact rows (true vacuums,
+        # sub-EPS vacuums, exact equal speeds): those sit on a definite
+        # side of their predicate in both precisions and must be checked.
+        exact_row = (r_l[i] == 0.0 or r_r[i] == 0.0 or
+                     r_l[i] == 5e-6 or r_r[i] == 5e-6 or
+                     u_l[i] == u_r[i])
         margin = min(abs(ul[i] - ur[i]) - oracles.EPS,
                      abs(r_l[i] - oracles.EPS), abs(r_r[i] - oracles.EPS))
-        if abs(margin) < 1e-4:
+        if abs(margin) < 1e-4 and not exact_row:
             continue
+        checked += 1
         assert got.case_ind[i] == ref["case"], i
         assert got.r0[i] == pytest.approx(ref["r0"], rel=2e-4, abs=2e-4), i
         assert got.u0[i] == pytest.approx(ref["u0"], rel=2e-4, abs=2e-3), i
@@ -84,6 +92,9 @@ def test_riemann_matches_oracle_all_cases():
         assert got.speed1[i] == pytest.approx(ref["speed1"], rel=2e-3,
                                               abs=5e-3), i
     assert cases_seen == {0, 1, 2}
+    # the vacuum / equal-speed rows (~1/7 + 1/11 + 1/13 of n) must have
+    # been value-checked, not skipped by the knife-edge filter
+    assert checked > n // 4
 
 
 def test_godunov_step_matches_oracle():

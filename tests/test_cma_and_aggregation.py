@@ -67,10 +67,14 @@ def test_micro_lane_macro_state_aggregation():
         routes=r01, spec=spec)
     d2, u2 = network.micro_lane_macro_state(spec, state2, differentiable=True)
     assert 0.0 < float(d2[l1]) < 0.1
-    # density is clamped at jam density 1.0
+    # density is clamped at jam density 1.0: 8 length-10 vehicles on the
+    # 50 m lane sum to 1.6 unclamped, so the clamp must actually engage
+    from dhts.models.vehicle import default_params
+
     many = jnp.linspace(1.0, 45.0, 8)
     state3 = network.set_micro_lane_vehicles(
         state, l0, many, jnp.full(8, 5.0),
-        routes=jnp.broadcast_to(r01[:1], (8, R)), spec=spec)
+        routes=jnp.broadcast_to(r01[:1], (8, R)),
+        params=default_params(30.0, (8,), 10.0), spec=spec)
     d3, _ = network.micro_lane_macro_state(spec, state3, differentiable=False)
-    assert float(d3[l0]) <= 1.0
+    assert float(d3[l0]) == pytest.approx(1.0, abs=1e-6)

@@ -52,8 +52,11 @@ def test_transfer_blocked_by_full_destination_then_retries():
     mid, _ = _roll(spec, s1, 0.02, 450)
     assert int(mid.micro.count[l0]) == 0, "transfer never retried"
     cnt = int(mid.micro.count[l1])
-    vids = set(np.asarray(mid.micro.vid[l1, :cnt]).tolist())
-    assert 0 in vids  # set_micro_lane_vehicles assigned vid 0 on l0
+    # the transferred vehicle is the one whose route cursor advanced past
+    # the l0 -> l1 hop (l1's pre-loaded vehicles have route_idx 0; vids
+    # are per-lane arange and cannot identify it)
+    ridx = np.asarray(mid.micro.route_idx[l1, :cnt])
+    assert (ridx == 1).sum() == 1, ridx
 
 
 def test_two_sources_one_destination_arbitrated_then_both_arrive():

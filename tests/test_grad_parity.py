@@ -59,6 +59,10 @@ def test_macro_interface_jacobians_match_autodiff():
         mask = np.abs(orc) > 1e-5
         rel = np.abs(ad - orc)[mask] / np.abs(orc)[mask]
         assert rel.max() < 1e-3, rel.max()
+        # entries the analytic Jacobian says are ~zero must also be ~zero
+        # under AD — a dead-branch cotangent leak would land exactly here
+        if (~mask).any():
+            assert np.abs(ad[~mask]).max() < 1e-3, np.abs(ad[~mask]).max()
 
 
 def test_micro_step_jacobians_match_autodiff():

@@ -125,7 +125,6 @@ def test_use_pallas_paths_match_scan(tmp_path):
     trajectories as the scan path (interpret mode)."""
     import jax.numpy as jnp
 
-    from dhts.apps.inverse.micro import MicroInverseProblem
 
     for cls, kw in [
         (MacroInverseProblem, dict(num_cell=6, cell_length=5.0)),

@@ -103,7 +103,8 @@ def test_training_reduces_loss(tmp_path):
     trainer = Trainer(env, network_size=(32, 32), lr=3e-3, seed=0)
     hist = trainer.train(1, 12, 6, 1, str(tmp_path / "run"), verbose=False)
     assert np.isfinite(hist).all()
-    assert min(hist[-4:]) <= hist[0] + 1e-6, (hist[0], hist[-4:])
+    # strict improvement: a dead-gradient regression keeps the loss flat
+    assert min(hist[-4:]) < hist[0] * 0.99, (hist[0], hist[-4:])
     # checkpoints + logs exist, and reload round-trips
     assert (tmp_path / "run" / "model.msgpack").exists()
     assert (tmp_path / "run" / "eval.txt").exists()

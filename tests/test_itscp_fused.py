@@ -74,4 +74,5 @@ def test_trainer_with_fused_episode(tmp_path):
     trainer = Trainer(env, network_size=(16, 16), lr=3e-3, seed=0)
     hist = trainer.train(1, 5, 5, 1, str(tmp_path / "fused"), verbose=False)
     assert np.isfinite(hist).all()
-    assert hist[-1] <= hist[0] + 1e-6
+    # strict improvement: a dead-gradient regression keeps the loss flat
+    assert min(hist[1:]) < hist[0] * 0.999, hist

@@ -117,9 +117,14 @@ def test_env_fused_episode_wiring(mode):
     g_fus = np.asarray(jax.grad(
         lambda a: env_fused.episode(a, True, key).reward)(action))
     assert np.all(np.isfinite(g_fus))
+    # a dropped cotangent in the custom VJP would zero g_fus while g_ref
+    # stays alive — require matching liveness, then direction
+    assert (np.linalg.norm(g_fus) > 0) == (np.linalg.norm(g_ref) > 0)
     denom = np.linalg.norm(g_ref) * np.linalg.norm(g_fus)
     if denom > 0:
         assert float(g_ref @ g_fus) / denom > 0.999
+    else:
+        assert np.linalg.norm(g_ref) == 0, "both gradients unexpectedly dead"
 
 
 def test_env_fused_episode_vmap():

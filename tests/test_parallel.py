@@ -148,7 +148,6 @@ def test_dp_train_step_shardmap_fused_kernel():
     # gradient parity: shard_map transpose of the fused kernel's custom
     # VJP (+ pmean) vs the unsharded scan gradient — a wrong collective
     # factor would keep the loss identical but corrupt training
-    from dhts.apps.control.controller import squash_action
 
     def fused_loss(params, keys):
         def ep(k):
