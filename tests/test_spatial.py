@@ -325,3 +325,56 @@ def test_spatial_rollout_random_scene_parity(seed):
                                np.asarray(u_final.micro.position)[act],
                                rtol=1e-5, atol=1e-5)
     assert int(s_final.veh_counter) == int(u_final.veh_counter)
+
+
+def test_spatial_rollout_random_16lane_scene_parity():
+    """Wider fuzz: a 16-lane random graph over 8 devices (2 lanes/shard)."""
+    rng = np.random.default_rng(42)
+    b = scene.SceneBuilder(25.0, max_vehicles_per_lane=4,
+                           max_route_length=8, route_pool_size=4)
+    L16 = 16
+    kinds = rng.random(L16) < 0.5
+    ids = [b.add_macro_lane(float(30 + 10 * rng.random()), 5.0) if kinds[i]
+           else b.add_micro_lane(float(30 + 10 * rng.random()))
+           for i in range(L16)]
+    edges = set()
+    for i in range(L16):
+        edges.add((i, (i + 1) % L16))
+        j = int(rng.integers(0, L16))
+        if j != i:
+            edges.add((i, j))
+    for i, j in sorted(edges):
+        b.connect(ids[i], ids[j])
+    spec, state = b.build(rng)
+    mn, mp = b.random_macro_route(rng)
+    state = state._replace(macro_next=jnp.asarray(mn),
+                           macro_prev=jnp.asarray(mp))
+    R = state.micro.route.shape[2]
+    for i in range(L16):
+        if kinds[i]:
+            n = int(spec.num_cell[i])
+            state = network.set_macro_lane_state(
+                state, i,
+                jnp.asarray(rng.uniform(0.2, 0.6, n), jnp.float32),
+                jnp.asarray(rng.uniform(5.0, 15.0, n), jnp.float32), spec)
+        elif rng.random() < 0.8:
+            routes = np.full((2, R), -1, np.int32)
+            for v in range(2):
+                rt = b.random_route(i, rng)
+                routes[v, :len(rt)] = rt
+            state = network.set_micro_lane_vehicles(
+                state, i, jnp.asarray([5.0, 18.0]), jnp.asarray([6.0, 8.0]),
+                routes=jnp.asarray(routes), spec=spec)
+
+    mesh = spatial.Mesh(np.asarray(jax.devices()[:8]), ("lane",))
+    sharded = spatial.make_spatial_rollout(spec, mesh, 0.04, 100)
+    s_final, _ = sharded(state)
+    u_final, _ = unsharded_rollout(spec, 0.04, 100)(state)
+    np.testing.assert_array_equal(np.asarray(s_final.micro.count),
+                                  np.asarray(u_final.micro.count))
+    np.testing.assert_array_equal(np.asarray(s_final.micro.vid),
+                                  np.asarray(u_final.micro.vid))
+    np.testing.assert_allclose(np.asarray(s_final.macro.r),
+                               np.asarray(u_final.macro.r), rtol=1e-5,
+                               atol=1e-6)
+    assert int(s_final.veh_counter) == int(u_final.veh_counter)
