@@ -81,10 +81,14 @@ class Trainer:
             ep_hard = itscp_spatial.make_spatial_episode(
                 env, mesh, differentiable=False)
 
+            # jit the controller prefix: running it eagerly costs per-op
+            # dispatch (painful through the remote-TPU tunnel's ~24 ms
+            # RTT); the sharded episode itself is jitted inside ep_hard
+            _prefix = jax.jit(lambda params: squash_action(
+                self.model.apply(params, self.obs), self.low, self.high))
+
             def eval_episode_sharded(params, key):
-                raw = self.model.apply(params, self.obs)
-                action = squash_action(raw, self.low, self.high)
-                return ep_hard(action, key)
+                return ep_hard(_prefix(params), key)
 
             self._eval_episode = eval_episode_sharded
             return
@@ -151,8 +155,28 @@ class Trainer:
         # jit-cached per episodes-per-epoch batch size
         _step = jax.jit(train_step)
         _eval = jax.jit(eval_episode)
-        self._train_step = lambda p, o, k: _step(p, o, k, data_of_env(),
-                                                 env.base_state)
+
+        def _check_fused_window():
+            # The fused kernel's leader-search window is baked in at the
+            # jitted step's FIRST trace; a later env.reset() needing a
+            # larger window would not retrace (same shapes) and would
+            # silently truncate the leader search — fail loudly instead.
+            if not env.config.get("use_fused_episode"):
+                return
+            built = getattr(env, "_fused_win", None)
+            needed = getattr(env, "_fused_win_needed", None)
+            if built is not None and needed is not None and needed > built:
+                raise RuntimeError(
+                    f"env.reset() grew the fused kernel's leader-search "
+                    f"window (needs {needed}, kernel built with {built}); "
+                    f"the jitted train step pinned the old kernel — "
+                    f"rebuild the Trainer after such a reset")
+
+        def _train(p, o, k):
+            _check_fused_window()
+            return _step(p, o, k, data_of_env(), env.base_state)
+
+        self._train_step = _train
         self._eval_episode = lambda p, k: _eval(p, k, data_of_env(),
                                                 env.base_state)
 

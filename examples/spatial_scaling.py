@@ -36,9 +36,15 @@ from dhts.parallel.mesh import make_mesh
 
 
 def main():
+    # 3x3 grid, horizon long enough for the flux capacitor to fill (~step
+    # 100): the sharded injection / leader-search / conversion machinery
+    # actually fires (a 2x2 "hybrid" grid is ALL macro — hybrid = macro
+    # border + micro interior and 2x2 has no interior — and would exercise
+    # zero vehicle events). Expect a couple of minutes of XLA compile on a
+    # small CPU host; the scene is the flagship 144-lane benchmark scene.
     env = ItscpEnv(config=dict(
-        num_intersection=2, num_lane=1, lane_length=10.0, speed_limit=20.0,
-        cell_length=5.0, policy_length=4, signal_length=2,
+        num_intersection=3, num_lane=1, lane_length=5.0, speed_limit=20.0,
+        cell_length=5.0, policy_length=16, signal_length=2,
         simulation_frequency=10, random_seed=3,
         max_num_micro_vehicle_per_lane=4, mode="hybrid"),
         schedule_fn=problem_1)
