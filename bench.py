@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="scenario batch for the batched-throughput figure")
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--no-compile-smoke", action="store_true",
+                    help="skip the 5x5 real-Mosaic compile smoke")
     args = ap.parse_args()
 
     if args.smoke:
@@ -108,6 +110,56 @@ def main():
     jax.block_until_ready(g)
     batched_steps_per_sec = T * B * reps / (time.perf_counter() - t0)
 
+    # ---- roofline / MFU accounting (VERDICT r1 item 3) --------------------
+    # converts steps/sec into absolute silicon-utilization numbers and
+    # names the binding resource; costs one XLA cost-analysis compile
+    roofline = {}
+    try:
+        from dhts.utils import roofline as rl
+
+        kern = getattr(env, "_fused_hyb_fn", None)
+        if kern is not None and hasattr(kern, "step_cost"):
+            kind = getattr(jax.devices()[0], "device_kind", "v5e")
+            cost = kern.step_cost()
+            roofline = rl.report(cost, kern.residual_bytes_per_step,
+                                 steps_per_sec, kind)
+            # aggregate steps/sec counts every episode's steps, so the
+            # per-aggregate-step flops/bytes are the per-episode-step ones
+            roofline_batched = rl.report(cost, kern.residual_bytes_per_step,
+                                         batched_steps_per_sec, kind, B)
+            roofline = {
+                "mfu": round(roofline["mfu"], 6),
+                "mfu_f32": round(roofline["mfu_f32"], 6),
+                "hbm_util": round(roofline["hbm_util"], 6),
+                "binding": roofline["binding"],
+                "flops_per_step": roofline["flops_per_step"],
+                "hbm_bytes_per_step": roofline["hbm_bytes_per_step"],
+                "mfu_batched": round(roofline_batched["mfu"], 6),
+                "hbm_util_batched": round(roofline_batched["hbm_util"], 6),
+            }
+    except Exception as e:  # never lose the bench record to accounting
+        roofline = {"roofline_error": f"{type(e).__name__}: {e}"}
+
+    # ---- real-Mosaic compile smoke at a larger shape (VERDICT r1 item 9) --
+    # the CI suite runs every Pallas test in interpret mode on CPU; this is
+    # the only per-round check that the kernels still LOWER for real Mosaic
+    # at a size that exercises the in-kernel remat path (Lp > 256)
+    compile_smoke = "skipped"
+    if not args.no_compile_smoke and not args.smoke:
+        try:
+            t0 = time.perf_counter()
+            env5 = ItscpEnv(config=dict(cfg, num_intersection=5),
+                            schedule_fn=problem_1)
+            env5.reset()
+            one5 = env5._fused_episode_one()
+            jax.jit(lambda a, d, k: jax.value_and_grad(
+                lambda aa: -one5(aa, d, k).reward)(a)).lower(
+                jnp.full((env5.action_size(),), 0.5), env5.data,
+                key).compile()
+            compile_smoke = f"ok ({time.perf_counter() - t0:.0f}s)"
+        except Exception as e:
+            compile_smoke = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
+
     print(json.dumps({
         "metric": "hybrid ITSCP net sim steps/sec (fwd+bwd)",
         "value": round(steps_per_sec, 2),
@@ -117,6 +169,8 @@ def main():
         "batch": B,
         "horizon": T,
         "platform": jax.devices()[0].platform,
+        "compile_smoke_5x5": compile_smoke,
+        **roofline,
     }))
     return 0
 

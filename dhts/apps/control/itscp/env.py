@@ -96,6 +96,18 @@ class EpisodeResult(NamedTuple):
     events_per_step: jax.Array | None = None
 
 
+def signal_progress_table(num_signal_frame: int) -> jax.Array:
+    """Phase-progress values ``(t % nsf) / nsf`` precomputed on the host in
+    float64 and rounded once to float32. In-jit f32 division may be lowered
+    as multiply-by-reciprocal, which can land 1 ulp off the correctly
+    rounded quotient — enough to flip the HARD ``progress > action`` gate
+    when an action ties a progress grid point (the reference compares the
+    f64 quotient against the f32 action, i.e. the correctly rounded value;
+    ``_env.py:915-960``)."""
+    nsf = int(num_signal_frame)
+    return jnp.asarray(np.minimum(np.arange(nsf) / nsf, 1.0), jnp.float32)
+
+
 def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
                  differentiable: bool):
     """Per-lane stored signal (the reference's ``signal_info[1]``,
@@ -103,8 +115,7 @@ def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
     comparison; mid connectors and leaving arms are always open."""
     phase = jnp.minimum(t // num_signal_frame, n_phases - 1)
     a = action2d[phase][meta.inter]  # [L]
-    progress = jnp.minimum(
-        (t % num_signal_frame).astype(jnp.float32) / num_signal_frame, 1.0)
+    progress = signal_progress_table(num_signal_frame)[t % num_signal_frame]
     if differentiable:
         gate_we = soft_sigmoid(a - progress, 32.0)
         gate_ns = soft_sigmoid(progress - a, 32.0)

@@ -111,11 +111,17 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
     for li in range(L):
         inter_pick[int(np.asarray(meta.inter)[li]), li] = 1.0
 
+    # host-rounded phase-progress table (see env.signal_progress_table):
+    # keeps the kernel's signals bit-identical to the scan env's
+    NSFp = _round_up(nsf, _SUBLANE)
+    prog_tab = np.zeros((NSFp, 1), np.float32)
+    prog_tab[:nsf, 0] = np.minimum(np.arange(nsf) / nsf, 1.0)
+
     consts = dict(lane_mask=lane_mask, cell_len=cell_len, coef=coef,
                   approaching=approaching, is_we=is_we, has_prev=has_prev,
                   num_prev=num_prev, num_next=num_next, prev0=prev0,
                   next0=next0, cmask=cmask, first_pick=first_pick,
-                  last_pick=last_pick, inter_pick=inter_pick)
+                  last_pick=last_pick, inter_pick=inter_pick, prog=prog_tab)
 
     def soft(x, c):
         return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
@@ -150,8 +156,9 @@ def make_fused_itscp_macro_episode(spec, meta, config, *,
         a_lane = jnp.dot(a_row, cn["inter_pick"],
                          preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # [1, Lp]
-        progress = jnp.minimum(
-            (t % nsf).astype(jnp.float32) / nsf, 1.0)
+        pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
+                 (t % nsf)).astype(jnp.float32)
+        progress = jnp.sum(cn["prog"] * pr_oh)
         gate = jnp.where(cn["is_we"] > 0, soft(a_lane - progress, 32.0),
                          soft(progress - a_lane, 32.0))
         sig = jnp.where(cn["approaching"] > 0, gate, 1.0)

@@ -158,13 +158,21 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 target_speed=0.9 * u_max, min_space=0.1 * veh_len,
                 time_pref=0.1, length=veh_len)
 
+    # Phase-progress table precomputed on host in f64 -> f32 (the scan env's
+    # ``signal_progress_table``): in-kernel f32 division can land 1 ulp off
+    # the correctly rounded quotient and flip the hard action-vs-progress
+    # gate on exact ties.
+    NSFp = _round_up(nsf, _SUBLANE)
+    prog_tab = np.zeros((NSFp, 1), np.float32)
+    prog_tab[:nsf, 0] = np.minimum(np.arange(nsf) / nsf, 1.0)
+
     consts = dict(lane_mask=lane_mask, is_macro=is_macro, length=length_row,
                   cell_len=cell_len, coef=coef, approaching=approaching,
                   is_we=is_we, has_prev=has_prev, num_prev=num_prev,
                   num_next=num_next, prev0=prev0, next0=next0,
                   next_k=next_k, prev_k=prev_k, cmask=cmask,
                   first_pick=first_pick, last_pick=last_pick,
-                  inter_pick=inter_pick)
+                  inter_pick=inter_pick, prog=prog_tab)
     const_names = sorted(consts.keys())
 
     def soft(x, c):
@@ -251,7 +259,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         a_lane = jnp.dot(a_row, cn["inter_pick"],
                          preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-        progress = jnp.minimum((t % nsf).astype(jnp.float32) / nsf, 1.0)
+        pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
+                 (t % nsf)).astype(jnp.float32)
+        progress = jnp.sum(cn["prog"] * pr_oh)
         g_axis = jnp.where(cn["is_we"] > 0, gate(a_lane - progress, 32.0),
                            gate(progress - a_lane, 32.0))
         sig = jnp.where(cn["approaching"] > 0, g_axis, 1.0)
@@ -907,5 +917,63 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         traj["qsum"] = qsum[0, 0]
         return traj
 
+    def step_cost():
+        """XLA cost analysis of ONE step — the same jnp graph the kernel
+        runs per grid iteration — for the bench's roofline/MFU accounting.
+
+        Returns ``{"flops_fwd", "bytes_fwd", "flops_bwd", "bytes_bwd"}``
+        per simulation step. ``bytes_*`` are XLA's *accessed* bytes for the
+        un-fused step graph (an upper bound on what the fused kernel
+        touches in VMEM, not HBM traffic — HBM is the residual stream, see
+        ``residual_bytes_per_step``)."""
+        cnj = {k: jnp.asarray(v) for k, v in consts.items()}
+        carry = pack(carry0(cnj))
+        args = (jnp.zeros((), jnp.int32), jnp.zeros((NPp, NIp)),
+                jnp.zeros((1, Lp)), jnp.zeros((1, Lp), jnp.int32),
+                jnp.zeros((1, Lp), jnp.int32), jnp.ones((1, Lp)),
+                jnp.zeros((P, R, Lp), jnp.int32),
+                jnp.zeros((P_emit, R, Lp), jnp.int32))
+
+        def fwd1(comps, t, action2d, sched, mnext, mprev, rand, inj, pool):
+            new, queue, ev = step(unpack(list(comps)), t, action2d, sched,
+                                  mnext, mprev, rand, inj, pool, cnj)
+            return pack(new), queue, ev
+
+        def bwd1(floats, action2d, t, sched, mnext, mprev, rand, inj, pool):
+            def f(fl, a):
+                full = list(carry)
+                for j, v in zip(FDIFF, fl):
+                    full[j] = v
+                new, queue, _ = step(unpack(full), t, a, sched, mnext,
+                                     mprev, rand, inj, pool, cnj)
+                out = pack(new)
+                return tuple(out[j] for j in FDIFF), queue
+            _, vjp = jax.vjp(f, floats, action2d)
+            return vjp((tuple(jnp.zeros_like(carry[j]) for j in FDIFF),
+                        jnp.zeros(())))
+
+        def analyze(f, *a):
+            c = jax.jit(f).lower(*a).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return c or {}
+
+        floats = tuple(carry[j] for j in FDIFF)
+        c_f = analyze(fwd1, carry, *args)
+        c_b = analyze(bwd1, floats, args[1], args[0], *args[2:])
+        return dict(flops_fwd=float(c_f.get("flops", 0.0)),
+                    bytes_fwd=float(c_f.get("bytes accessed", 0.0)),
+                    flops_bwd=float(c_b.get("flops", 0.0)),
+                    bytes_bwd=float(c_b.get("bytes accessed", 0.0)))
+
     fn.debug_forward = debug_forward
+    fn.step_cost = step_cost
+    # HBM residual stream: each TRAJ block is written once by the forward
+    # and read once by the backward, per step
+    fn.residual_bytes_per_step = int(sum(
+        int(np.prod(shp)) * np.dtype(np.int32 if dt_ == jnp.int32 else
+                                     np.float32).itemsize
+        for _, shp, dt_ in TRAJ))
+    fn.geometry = dict(L=L, Lp=Lp, Cp=Cp, Vp=Vp, R=R, K=K, W=W, T=T,
+                       n_phases=n_phases)
     return fn
