@@ -61,15 +61,45 @@ class CmaEs:
         self._eig_fresh = True
 
     def ask(self) -> np.ndarray:
-        """Sample a population ``[popsize, n]`` (clipped to bounds)."""
+        """Sample a raw population ``[popsize, n]``.
+
+        Samples are NOT clipped: projecting onto the box before ``tell``
+        stalls covariance/step-size adaptation whenever the optimum sits
+        near a bound (every projected sample looks identical along the
+        violated coordinate). Callers evaluate ``repair(x)`` and tell the
+        raw ``x`` with a penalized fitness — ``optimize`` does exactly
+        that; pycma's bounds option does the same via its boundary
+        handlers."""
         if not self._eig_fresh:
             self._decompose()
         z = self.rng.standard_normal((self.popsize, self.n))
         y = z @ np.diag(self.D) @ self.B.T  # y ~ N(0, C)
-        x = self.mean + self.sigma * y
-        if self.lower is not None or self.upper is not None:
-            x = np.clip(x, self.lower, self.upper)  # np.clip accepts None
-        return x
+        return self.mean + self.sigma * y
+
+    def repair(self, x: np.ndarray) -> np.ndarray:
+        """Project ``x`` onto the box (the feasible point that gets
+        evaluated)."""
+        if self.lower is None and self.upper is None:
+            return x
+        return np.clip(x, self.lower, self.upper)
+
+    def boundary_penalty(self, x_raw, x_repaired, fitness) -> np.ndarray:
+        """Per-candidate penalty added to the feasible fitness when telling
+        the raw sample: ``gamma * sum(((x - repair(x)) / width)^2)``, with
+        ``gamma`` scaled to the generation's fitness spread so the penalty
+        stays commensurate with the objective as it converges (a light
+        version of pycma's adaptive BoundPenalty)."""
+        if self.lower is None and self.upper is None:
+            return np.zeros(len(x_raw))
+        lo = self.lower if self.lower is not None else -np.inf
+        hi = self.upper if self.upper is not None else np.inf
+        width = np.where(np.isfinite(hi - lo) & (hi - lo > 0), hi - lo, 1.0)
+        dist2 = np.sum(((x_raw - x_repaired) / width) ** 2, axis=1)
+        med = np.median(fitness)
+        spread = np.median(np.abs(fitness - med)) + 1e-12 * (1 + abs(med))
+        return (self._pen_gamma * spread) * dist2
+
+    _pen_gamma = 100.0
 
     def tell(self, solutions, fitness):
         """Rank ``solutions`` by ``fitness`` and update the distribution.
@@ -119,12 +149,15 @@ class CmaEs:
         self._gen = 1
         while len(history) < num_evaluations:
             xs = self.ask()
-            fs = np.asarray(batch_objective(xs), np.float64)
-            self.tell(xs, fs)  # advances _gen
+            xe = self.repair(xs)
+            fs = np.asarray(batch_objective(xe), np.float64)
+            # distribution update sees the RAW samples with a penalized
+            # fitness; the history/best records the feasible evaluations
+            self.tell(xs, fs + self.boundary_penalty(xs, xe, fs))
             history.extend(fs.tolist())
-            asked.extend(xs.tolist())
+            asked.extend(xe.tolist())
             i = int(np.argmin(fs))
             if fs[i] < best_f:
-                best_f, best_x = float(fs[i]), xs[i].copy()
+                best_f, best_x = float(fs[i]), xe[i].copy()
         return np.asarray(history[:num_evaluations]), np.asarray(
             asked[:num_evaluations]), best_x
