@@ -542,7 +542,8 @@ class ItscpEnv:
             P2 = self.base_state.route_pool.shape[1]
             self._fused_hyb_fn = make_fused_itscp_episode(
                 self.spec, self.meta, self.config, V, R, P, P2,
-                differentiable=True, window=win)
+                differentiable=True, window=win,
+                inkernel_prng=bool(self.config.get("use_inkernel_prng")))
             self._fused_win = win
         fn = self._fused_hyb_fn
         c = self.config
@@ -551,12 +552,22 @@ class ItscpEnv:
         T, L = self.num_timestep, self.spec.num_lanes
         pool = self.base_state.route_pool
 
+        inkernel = bool(c.get("use_inkernel_prng"))
+
         def one(action_flat, data, key, pool=pool):
-            rand = jax.random.uniform(key, (T, L))  # same draw as the scan
+            if inkernel:
+                # injection uniforms drawn on-chip (pltpu PRNG) from a
+                # seed derived from the episode key; the [T, L] stream is
+                # a zeros placeholder the kernel ignores
+                rand = jnp.zeros((T, L))
+                seed = (key[0] ^ key[1]).astype(jnp.int32)
+            else:
+                rand = jax.random.uniform(key, (T, L))  # same as the scan
+                seed = None
             reward, queues, events = fn(
                 action_flat.reshape(n_phases, -1), data.schedule,
                 data.mroute_next, data.mroute_prev, rand, data.inj_routes,
-                pool, with_events=True)
+                pool, with_events=True, rng_seed=seed)
             ev = events[:, :3].astype(jnp.int32)
             return EpisodeResult(reward=reward, queue_per_step=queues,
                                  emitted=jnp.sum(ev[:, 1]),
@@ -603,6 +614,109 @@ class ItscpEnv:
         fn = self._episode_soft if differentiable else self._episode_hard
         return jax.vmap(lambda a, d, k: fn(a, d, self.base_state, k))(
             jnp.asarray(actions), self.batch_data, keys)
+
+    def packed_episode_fn(self):
+        """Pack the whole scenario batch (``reset_batch``) into ONE fused
+        kernel instance: B independent episodes live side by side in the
+        lane axis (block-diagonal adjacency — at 3x3 the kernel pads 144
+        lanes to 256 anyway, so a second episode rides mostly in lanes the
+        single-scenario kernel wastes). Returns
+        ``run(actions [B, n_act], keys [B, 2]) -> EpisodeResult`` with
+        per-episode rewards/queues; event counters are pack totals.
+
+        vs ``episode_batch`` (vmap): one kernel instance instead of B —
+        the per-step serialization cost is paid once for the pack rather
+        than once per episode. RMS statistics and queue sums are kept
+        per-episode inside the kernel; cross-padding reduction orders
+        differ from the single-episode kernel by design, so parity vs
+        vmapped singles is tight-tolerance, not bit-exact (the
+        single-episode path is unchanged and stays bit-exact vs the scan
+        env)."""
+        from dhts.ops.pallas.itscp_hybrid_episode import \
+            make_fused_itscp_episode
+
+        assert getattr(self, "batch_data", None) is not None, \
+            "call env.reset_batch(B) first"
+        B = int(self.batch_data.schedule.shape[0])
+        L = self.spec.num_lanes
+        c = self.config
+        n_inter = c["num_intersection"] ** 2
+        T = self.num_timestep
+
+        tile = lambda a: np.concatenate([np.asarray(a)] * B, axis=0)
+
+        def off_lanes(a):
+            a = np.asarray(a)
+            return np.concatenate([np.where(a >= 0, a + b * L, -1)
+                                   for b in range(B)], axis=0)
+
+        pspec = SceneSpec(
+            is_macro=jnp.asarray(tile(self.spec.is_macro)),
+            length=jnp.asarray(tile(self.spec.length)),
+            num_cell=jnp.asarray(tile(self.spec.num_cell)),
+            cell_length=jnp.asarray(tile(self.spec.cell_length)),
+            cell_mask=jnp.asarray(tile(self.spec.cell_mask)),
+            next_lanes=jnp.asarray(off_lanes(self.spec.next_lanes)),
+            prev_lanes=jnp.asarray(off_lanes(self.spec.prev_lanes)),
+            num_next=jnp.asarray(tile(self.spec.num_next)),
+            num_prev=jnp.asarray(tile(self.spec.num_prev)),
+            speed_limit=self.spec.speed_limit,
+            vehicle_length=self.spec.vehicle_length)
+        pmeta = LaneMeta(
+            approaching=jnp.asarray(tile(self.meta.approaching)),
+            is_we=jnp.asarray(tile(self.meta.is_we)),
+            inter=jnp.asarray(np.concatenate(
+                [np.asarray(self.meta.inter) + b * n_inter
+                 for b in range(B)])),
+            has_prev=jnp.asarray(tile(self.meta.has_prev)))
+        ep_of_lane = np.repeat(np.arange(B), L)
+
+        V = self.base_state.micro.position.shape[1]
+        R = self.base_state.micro.route.shape[2]
+        P = self.data.inj_routes.shape[1]
+        P2 = self.base_state.route_pool.shape[1]
+        kern = make_fused_itscp_episode(
+            pspec, pmeta, c, V, R, P, P2, differentiable=True,
+            window=self._fused_win_needed, episodes=B,
+            ep_of_lane=ep_of_lane)
+
+        bd = self.batch_data
+        # [B, T, L] -> [T, B*L]; route entries are lane ids -> offset
+        sched_p = jnp.concatenate(list(bd.schedule), axis=1)
+        moff = lambda a: jnp.concatenate(
+            [jnp.where(a[b] >= 0, a[b] + b * L, -1) for b in range(B)],
+            axis=1)
+        mnext_p = moff(bd.mroute_next)
+        mprev_p = moff(bd.mroute_prev)
+        roff = lambda a, b: jnp.where(a >= 0, a + b * L, -1)
+        inj_p = jnp.concatenate([roff(bd.inj_routes[b], b)
+                                 for b in range(B)], axis=0)
+        pool_p = jnp.concatenate([roff(self.base_state.route_pool, b)
+                                  for b in range(B)], axis=0)
+        n_phases = max(1, (c["policy_length"] * c["duration"]) //
+                       c["signal_length"])
+
+        def run(actions, keys):
+            # [B, n_phases * n_inter] -> [n_phases, B * n_inter]
+            a2 = jnp.concatenate(
+                [jnp.asarray(actions)[b].reshape(n_phases, n_inter)
+                 for b in range(B)], axis=1)
+            rand = jnp.concatenate(
+                [jax.random.uniform(keys[b], (T, L)) for b in range(B)],
+                axis=1)
+            reward, queues, events = kern(a2, sched_p, mnext_p, mprev_p,
+                                          rand, inj_p, pool_p,
+                                          with_events=True)
+            ev = events[:, :3].astype(jnp.int32)
+            return EpisodeResult(reward=reward, queue_per_step=queues.T,
+                                 emitted=jnp.sum(ev[:, 1]),
+                                 absorbed=jnp.sum(ev[:, 2]),
+                                 injected=jnp.sum(ev[:, 0]),
+                                 max_wave_speed=jnp.max(events[:, 7]),
+                                 events_per_step=ev)
+
+        run.kernel = kern
+        return run
 
     def replay(self, action, key, every: int = 5):
         """Run a hard-mode episode recording state, and rasterize frames

@@ -72,7 +72,9 @@ def leader_window(is_macro, routes) -> int:
 def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                              P_emit: int, differentiable: bool = False, *,
                              window: int | None = None,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             episodes: int = 1, ep_of_lane=None,
+                             inkernel_prng: bool = False):
     """Build the fused differentiable episode for a (possibly) hybrid scene.
 
     Returns ``fn(action2d, schedule[T,L], mnext[T,L], mprev[T,L],
@@ -103,6 +105,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     n_phases = max(1, (config["policy_length"] * config["duration"]) //
                    config["signal_length"])
     n_inter = int(config["num_intersection"]) ** 2
+    if episodes > 1:
+        # per-episode action blocks laid side by side in the action row
+        # (episode b's intersection i is action column b * n_inter + i,
+        # matching the packed meta.inter offsets)
+        n_inter *= int(episodes)
     NIp = _round_up(n_inter, _LANE)
     NPp = _round_up(n_phases, _SUBLANE)
     dt = 1.0 / config["simulation_frequency"]
@@ -166,6 +173,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     prog_tab = np.zeros((NSFp, 1), np.float32)
     prog_tab[:nsf, 0] = np.minimum(np.arange(nsf) / nsf, 1.0)
 
+    # ---- episode packing (block-diagonal scenes in one kernel) ------------
+    # ``episodes`` > 1 runs B independent scenarios side by side in the lane
+    # axis (dead padding lanes become live lanes of another episode). The
+    # physics is lane-local and needs nothing; only the RMS statistics, the
+    # queue reduction and the reward must become per-episode — via one-hot
+    # lane->episode matmuls. B == 1 keeps the original scalar reductions
+    # bit-exactly.
+    packed = episodes > 1
+    B_ep = int(episodes)
+    Bp = _round_up(B_ep, _LANE) if packed else 1
+    if packed:
+        epl = np.asarray(ep_of_lane, np.int64)
+        assert epl.shape == (L,), (epl.shape, L)
+        ep_pick_np = np.zeros((Lp, Bp), np.float32)
+        ep_pick_np[np.arange(L), epl] = 1.0
+
     consts = dict(lane_mask=lane_mask, is_macro=is_macro, length=length_row,
                   cell_len=cell_len, coef=coef, approaching=approaching,
                   is_we=is_we, has_prev=has_prev, num_prev=num_prev,
@@ -173,7 +196,28 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                   next_k=next_k, prev_k=prev_k, cmask=cmask,
                   first_pick=first_pick, last_pick=last_pick,
                   inter_pick=inter_pick, prog=prog_tab)
+    if packed:
+        consts["ep_pick"] = ep_pick_np
+        consts["ep_pick_t"] = ep_pick_np.T.copy()
     const_names = sorted(consts.keys())
+
+    def ep_sum(row, cn):
+        """[1, Lp] per-lane values -> per-episode sums ([1, Bp]) when
+        packed, a scalar otherwise (bit-exact legacy reduction)."""
+        if not packed:
+            return jnp.sum(row)
+        return jnp.dot(row, cn["ep_pick"],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def ep_spread(per_ep, cn):
+        """Per-episode row [1, Bp] -> per-lane row [1, Lp] (identity for
+        the scalar single-episode case)."""
+        if not packed:
+            return per_ep
+        return jnp.dot(per_ep, cn["ep_pick_t"],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def soft(x, c):
         return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
@@ -198,14 +242,23 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         out = g.astype(jnp.int32)
         return jnp.where(idx_row >= 0, out, fill)
 
-    def gather_rows(rows, idx_row):
+    def gather_rows(rows, idx_row, oh=None):
         """Gather many [*, Lp] rows at the SAME lane index in one MXU pass:
         a [1, Lp] x [Lp, Lp] one-hot matmul wastes the systolic array's
-        rows, so every co-indexed gather is stacked into one [N, Lp] LHS."""
+        rows, so every co-indexed gather is stacked into one [N, Lp] LHS.
+        ``oh``: reuse a prebuilt one-hot (the [Lp, Lp] iota compare is the
+        expensive part, not the matmul)."""
         mat = jnp.concatenate(rows, axis=0)
-        return jnp.dot(mat, oh_l(idx_row),
+        return jnp.dot(mat, oh_l(idx_row) if oh is None else oh,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+
+    def gather_rows_sg(rows, idx_row, oh=None):
+        """Stop-gradient gather for rows whose cotangent is structurally
+        zero (flags, counts, ids, static lengths, IDM params): the
+        backward pass then neither transposes the matmul nor rebuilds its
+        one-hot. Values are identical to :func:`gather_rows`."""
+        return jax.lax.stop_gradient(gather_rows(rows, idx_row, oh))
 
     def head_oh(count):
         """[Vp, Lp] one-hot of the head slot (count-1), falling back to
@@ -243,7 +296,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     # =====================================================================
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
-             inj_routes, emit_routes, cn):
+             inj_routes, emit_routes, cn, early_exit: bool = False):
         (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
          count, route, ridx, cap, inj_left, cursor, ss_tot, ss_cnt, sg_tot,
          sg_cnt) = carry
@@ -336,27 +389,79 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         h_exists = count > 0
 
         count_row = count.astype(jnp.float32)
-        # window walk: per offset o, the lane R positions ahead on the route
-        pd_g = jnp.full((1, Lp), 1000.0)
-        sd_g = jnp.zeros((1, Lp))
-        cur_delta = cn["length"] - hv_pos - hv_len * 0.5
-        done = ~h_exists
-        for o in range(W):
+        # Window walk, split in two phases (the walk's only differentiable
+        # content is the leader's tail fields and the head's own position):
+        #
+        # Phase 1 — DISCRETE, stop-gradient: per offset o, gather only
+        # [is_macro, count, length] of the lane o+1 route positions ahead,
+        # and latch the terminating hop's lane id ``wstar`` (first occupied
+        # micro lane) and the gap accumulated up to it. Values are
+        # bit-identical to the fused single-loop walk (same gathers, same
+        # float order); no cotangents flow, so the backward pass neither
+        # transposes nor rebuilds these W one-hot matmuls — at 5x5+ grids
+        # W hits the R-1 cap and this was ~60% of fwd+bwd step time.
+        #
+        # Phase 2 — ONE differentiable gather at ``wstar`` for the leader's
+        # (tail position, tail speed, tail length); the head-position
+        # gradient is re-attached straight-through onto the stop-gradient
+        # accumulated gap (value unchanged: base - stop_grad(base) == 0).
+        base = cn["length"] - hv_pos - hv_len * 0.5
+
+        def walk_hop(o, done, found, wstar, cdel_st, cur_delta):
             j = ridx_h + 1 + o
             wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
             exists = wl >= 0
-            gw = gather_rows([cn["is_macro"], count_row, pos[:1], vel[:1],
-                              p_len[:1], cn["length"]], wl)
+            gw = gather_rows_sg([cn["is_macro"], count_row, cn["length"]],
+                                wl)
             w_macro = gw[0:1] > 0.5
             occupied = exists & ~w_macro & (gw[1:2] > 0.5)
             term_default = ~done & (~exists | (exists & w_macro))
             term_leader = ~done & occupied
-            tail_pos, tail_vel, tail_len = gw[2:3], gw[3:4], gw[4:5]
-            new_pd = jnp.maximum(cur_delta + tail_pos - tail_len * 0.5, 0.0)
-            pd_g = jnp.where(term_leader, new_pd, pd_g)
-            sd_g = jnp.where(term_leader, hv_vel - tail_vel, sd_g)
+            wstar = jnp.where(term_leader, wl, wstar)
+            cdel_st = jnp.where(term_leader,
+                                jax.lax.stop_gradient(cur_delta), cdel_st)
+            found = found | term_leader
             done = done | term_default | term_leader
-            cur_delta = jnp.where(~done, cur_delta + gw[5:6], cur_delta)
+            cur_delta = jnp.where(~done, cur_delta + gw[2:3], cur_delta)
+            return done, found, wstar, cdel_st, cur_delta
+
+        walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
+                 jnp.full((1, Lp), -1, jnp.int32), jnp.zeros((1, Lp)), base)
+        if early_exit:
+            # Forward kernels only: hop until EVERY lane's walk terminated
+            # (on ITSCP grids that is typically 1-3 hops, while the static
+            # bound W hits the R-1 cap at 5x5+). Values are identical to
+            # the unrolled walk — hops past `done` are no-ops — so the
+            # backward kernel's unrolled vjp recompute stays consistent.
+            # Mosaic cannot yield i1 vectors from scf loops -> carry the
+            # two flag rows as int32.
+            def w_cond(st):
+                return (st[0] < W) & (jnp.min(st[1]) < 1)
+
+            def w_body(st):
+                o, done_i, found_i = st[0], st[1], st[2]
+                out = walk_hop(o, done_i > 0, found_i > 0, *st[3:])
+                return (o + 1, out[0].astype(jnp.int32),
+                        out[1].astype(jnp.int32)) + out[2:]
+
+            st = jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.zeros((), jnp.int32),
+                 walk0[0].astype(jnp.int32), walk0[1].astype(jnp.int32))
+                + walk0[2:])
+            done, found = st[1] > 0, st[2] > 0
+            wstar, cdel_st, cur_delta = st[3:]
+        else:
+            st = walk0
+            for o in range(W):
+                st = walk_hop(o, *st)
+            done, found, wstar, cdel_st, cur_delta = st
+        gt = gather_rows([pos[:1], vel[:1], p_len[:1]],
+                         jnp.where(found, wstar, -1))
+        cdel = cdel_st + (base - jax.lax.stop_gradient(base))
+        new_pd = jnp.maximum(cdel + gt[0:1] - gt[2:3] * 0.5, 0.0)
+        pd_g = jnp.where(found, new_pd, 1000.0)
+        sd_g = jnp.where(found, hv_vel - gt[1:2], 0.0)
 
         # ---- micro signal blending (env boundary_and_step)
         red_pd = jnp.maximum(cn["length"] - hv_pos - hv_len * 0.5, 0.0)
@@ -387,10 +492,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         blend = h_exists & (micro_row > 0)
         if diff:
             sg_tot = sg_tot + jax.lax.stop_gradient(
-                jnp.sum(fsig * blend.astype(jnp.float32)))
-            sg_cnt = sg_cnt + jnp.sum(blend.astype(jnp.float32))
-            c_sig = 32.0 / jnp.maximum(
-                jnp.abs(sg_tot / jnp.maximum(sg_cnt, 1.0)), 1e-6)
+                ep_sum(fsig * blend.astype(jnp.float32), cn))
+            sg_cnt = sg_cnt + ep_sum(blend.astype(jnp.float32), cn)
+            c_sig = ep_spread(32.0 / jnp.maximum(
+                jnp.abs(sg_tot / jnp.maximum(sg_cnt, 1.0)), 1e-6), cn)
             fs = soft(fsig - 0.5, c_sig)
             pd = pd_g * fs + red_pd * (1.0 - fs)
             sd = sd_g * fs
@@ -452,8 +557,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         mn_c = jnp.clip(mnext_t, 0, Lp - 1)
         macro_src = (cn["is_macro"] > 0) & (mnext_t >= 0)
         count_row = count.astype(jnp.float32)
-        gm = gather_rows([cn["is_macro"], count_row, pos[:1], p_len[:1],
-                          cn["length"]], mnext_t)
+        # every gathered row only feeds event PREDICATES (bools carry no
+        # cotangent) -> stop-gradient: no backward transpose
+        gm = gather_rows_sg([cn["is_macro"], count_row, pos[:1], p_len[:1],
+                             cn["length"]], mnext_t)
         next_is_micro = macro_src & (gm[0:1] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
         slot_oh = ((cn["next_k"] == mnext_t) &
@@ -480,7 +587,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         h_exists = count > 0
         hnext = pick_r(route_h, ridx_h + 1)
         past_end = h_exists & (hv_pos >= cn["length"])
-        gh = gather_rows([cn["is_macro"], count_row], hnext)
+        gh = gather_rows_sg([cn["is_macro"], count_row], hnext)
         hn_macro = (hnext >= 0) & (gh[0:1] > 0.5)
         hn_micro = (hnext >= 0) & ~hn_macro
         exit_none = past_end & (hnext < 0)
@@ -499,7 +606,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             pk = cn["prev_k"][k: k + 1]  # [1, Lp]
             ok = pk >= 0  # every candidate test below is gated on ok, so
             # the zeros a batched gather yields at invalid pk are harmless
-            gk = gather_rows([mnext_f, we_f, tr_tgt, dep_tgt], pk)
+            gk = gather_rows_sg([mnext_f, we_f, tr_tgt, dep_tgt], pk)
             tgt = gk[0:1].astype(jnp.int32)
             c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
             c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
@@ -511,8 +618,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         emit_win = want_emit & (gather_l_int(best, mn_c, fill=Lp) == lane_ids)
         hn_c = jnp.clip(hnext, 0, Lp - 1)
-        gwin = gather_rows([best.astype(jnp.float32),
-                            dep_best.astype(jnp.float32)], hn_c)
+        gwin = gather_rows_sg([best.astype(jnp.float32),
+                               dep_best.astype(jnp.float32)], hn_c)
         tr_win = want_tr & (gwin[0:1].astype(jnp.int32) == lane_ids)
         dep_win = want_dep & (gwin[1:2].astype(jnp.int32) == lane_ids)
 
@@ -536,32 +643,38 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # gather is exact, so the value stays exactly veh_len while the
         # matmul transpose routes the cotangent back into cap.
         emit_carrier = veh_len + cap_val - jax.lax.stop_gradient(cap_val)
-        src_rows = [cn["is_macro"], hv_pos, cn["length"], u_last, hv_vel,
-                    hv_a, ridx_h.astype(jnp.float32)]
-        src_rows += [pick_v(arrp, oh_prev_head)
-                     for arrp in (p_amax, p_apref, p_vt, p_ms, p_tp, p_len)]
-        src_rows.append(emit_carrier)
-        src_rows.append(route_h.astype(jnp.float32))  # [R, Lp]
-        gs = gather_rows(src_rows, src)
-        src_is_macro = gs[0:1] > 0.5
+        # one shared one-hot; the discrete/constant rows (flags, lengths,
+        # cursor, IDM params, the R route id rows) go through a
+        # stop-gradient matmul — their cotangent chains terminate at
+        # constants or ints, so transposing them in the backward was pure
+        # waste (32 of the 46 rows here are route ids)
+        oh_src = oh_l(src)
+        gsg = gather_rows_sg(
+            [cn["is_macro"], cn["length"], ridx_h.astype(jnp.float32)] +
+            [pick_v(arrp, oh_prev_head)
+             for arrp in (p_amax, p_apref, p_vt, p_ms, p_tp, p_len)] +
+            [route_h.astype(jnp.float32)], src, oh=oh_src)
+        gdf = gather_rows([hv_pos, u_last, hv_vel, hv_a, emit_carrier],
+                          src, oh=oh_src)
+        src_is_macro = gsg[0:1] > 0.5
         is_emit_d = has_ins & src_is_macro
-        new_pos_d = jnp.where(is_emit_d, 0.0, gs[1:2] - gs[2:3])
-        new_vel_d = jnp.where(is_emit_d, gs[3:4], gs[4:5])
-        new_a_d = jnp.where(is_emit_d, gs[13:14], gs[5:6])
+        new_pos_d = jnp.where(is_emit_d, 0.0, gdf[0:1] - gsg[1:2])
+        new_vel_d = jnp.where(is_emit_d, gdf[1:2], gdf[2:3])
+        new_a_d = jnp.where(is_emit_d, gdf[4:5], gdf[3:4])
         newp = {}
         for i, name in enumerate(("accel_max", "accel_pref", "target_speed",
                                   "min_space", "time_pref", "length")):
-            newp[name] = jnp.where(is_emit_d, dflt[name], gs[7 + i: 8 + i])
+            newp[name] = jnp.where(is_emit_d, dflt[name], gsg[3 + i: 4 + i])
         # route: emission pops dest pool; transfer carries src head route
         ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
                 == (cursor % P_emit)[None]).astype(jnp.float32))
         pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
                              axis=0)  # [R, Lp]
-        src_route = gs[14:]  # [R, Lp]
+        src_route = gsg[9:]  # [R, Lp]
         new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
             jnp.int32)
         new_ridx_d = jnp.where(
-            is_emit_d, 0, gs[6:7].astype(jnp.int32) + 1).astype(jnp.int32)
+            is_emit_d, 0, gsg[2:3].astype(jnp.int32) + 1).astype(jnp.int32)
 
         hm = has_ins
         pos = tail_insert(pos, new_pos_d[0], hm)
@@ -606,17 +719,32 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         # ---- queue reward
         u_cells = arz.compute_u(r, y, u_max)
-        ss_tot = ss_tot + jax.lax.stop_gradient(
-            jnp.sum((static_speed - u_cells) * cn["cmask"]))
-        ss_cnt = ss_cnt + jnp.sum(cn["cmask"])
+        if packed:
+            # per-episode sums (lane -> episode one-hot matmuls); reduce
+            # the cell/vehicle axis first so the matmul LHS is [1, Lp]
+            ss_tot = ss_tot + jax.lax.stop_gradient(ep_sum(jnp.sum(
+                (static_speed - u_cells) * cn["cmask"], axis=0,
+                keepdims=True), cn))
+            ss_cnt = ss_cnt + ep_sum(
+                jnp.sum(cn["cmask"], axis=0, keepdims=True), cn)
+        else:
+            ss_tot = ss_tot + jax.lax.stop_gradient(
+                jnp.sum((static_speed - u_cells) * cn["cmask"]))
+            ss_cnt = ss_cnt + jnp.sum(cn["cmask"])
         rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0)
         veh_m = ((rows < count) & (micro_row > 0)).astype(jnp.float32)
-        ss_tot = ss_tot + jax.lax.stop_gradient(
-            jnp.sum((static_speed - vel) * veh_m))
-        ss_cnt = ss_cnt + jnp.sum(veh_m)
+        if packed:
+            ss_tot = ss_tot + jax.lax.stop_gradient(ep_sum(jnp.sum(
+                (static_speed - vel) * veh_m, axis=0, keepdims=True), cn))
+            ss_cnt = ss_cnt + ep_sum(
+                jnp.sum(veh_m, axis=0, keepdims=True), cn)
+        else:
+            ss_tot = ss_tot + jax.lax.stop_gradient(
+                jnp.sum((static_speed - vel) * veh_m))
+            ss_cnt = ss_cnt + jnp.sum(veh_m)
         if diff:
-            c_st = 16.0 / jnp.maximum(
-                jnp.abs(ss_tot / jnp.maximum(ss_cnt, 1.0)), 1e-6)
+            c_st = ep_spread(16.0 / jnp.maximum(
+                jnp.abs(ss_tot / jnp.maximum(ss_cnt, 1.0)), 1e-6), cn)
             stat_c = soft(static_speed - u_cells, c_st)
             stat_v = soft(static_speed - vel, c_st)
         else:
@@ -626,7 +754,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                           cn["cmask"], axis=0, keepdims=True)
         q_micro = jnp.sum(stat_v * veh_m, axis=0, keepdims=True)
         q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
-        queue = jnp.sum(q_lane * q_lane * cn["lane_mask"]) * dt
+        queue = ep_sum(q_lane * q_lane * cn["lane_mask"], cn) * dt
 
         carry = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
                  p_len, count, route, ridx, cap, inj_left, cursor, ss_tot,
@@ -659,7 +787,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             ("cap", (K, Lp), jnp.float32),
             ("inj_left", (1, Lp), jnp.int32),
             ("cursor", (1, Lp), jnp.int32),
-            ("rms", (1, 4), jnp.float32))
+            ("rms", (4, Bp) if packed else (1, 4), jnp.float32))
     NT = len(TRAJ)
     # differentiated comps: r, y, pos, vel, av (the ancillary gradient
     # carrier), cap (flux capacitor) and the rms row. Int containers carry
@@ -672,11 +800,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     def pack(carry):
         comps = list(carry[:17])
-        comps.append(jnp.stack(carry[17:]).reshape(1, 4))
+        if packed:
+            comps.append(jnp.concatenate(carry[17:], axis=0))  # (4, Bp)
+        else:
+            comps.append(jnp.stack(carry[17:]).reshape(1, 4))
         return tuple(comps)
 
     def unpack(comps):
         rms = comps[17]
+        if packed:
+            return tuple(comps[:17]) + (rms[0:1], rms[1:2], rms[2:3],
+                                        rms[3:4])
         return tuple(comps[:17]) + (rms[0, 0], rms[0, 1], rms[0, 2],
                                     rms[0, 3])
 
@@ -685,6 +819,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         zi = lambda *s: jnp.zeros(s, jnp.int32)
         inj_left0 = jnp.where((cn["has_prev"] == 0) & (cn["is_macro"] < 0.5),
                               P, 0).astype(jnp.int32)
+        rms0 = ((zf(1, Bp),) * 4 if packed else
+                (jnp.zeros(()),) * 4)
         return (zf(Cp, Lp), zf(Cp, Lp), zf(Vp, Lp), zf(Vp, Lp), zf(Vp, Lp),
                 jnp.full((Vp, Lp), dflt["accel_max"]),
                 jnp.full((Vp, Lp), dflt["accel_pref"]),
@@ -693,8 +829,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 jnp.full((Vp, Lp), dflt["time_pref"]),
                 jnp.full((Vp, Lp), dflt["length"]),
                 zi(1, Lp), jnp.full((Vp, R, Lp), -1, jnp.int32),
-                zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp),
-                jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+                zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp)) + rms0
 
     def full_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
@@ -708,11 +843,30 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     seq_params = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                       vmem_limit_bytes=100 * 1024 * 1024)
+    QW = Bp if packed else 1  # width of the queue/reward outputs
 
     # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
+    def _prng_rand_row(seed_ref, t):
+        """Per-step injection uniforms drawn ON-CHIP (pltpu PRNG), seeded
+        by (episode seed, t) so the reverse-grid backward regenerates the
+        exact same draws. Replaces the [T, L] pre-drawn HBM stream; the
+        draw ORDER differs from the jax.random path, so parity vs the scan
+        env is in-distribution, not per-draw (use the default pre-drawn
+        mode as the parity oracle)."""
+        pltpu.prng_seed(seed_ref[0, 0], t)
+        bits = pltpu.prng_random_bits((1, Lp))
+        # bits are SIGNED int32: mask to the low 23 bits (an arithmetic
+        # >> would sign-extend and yield negative "uniforms" that always
+        # pass the rand < incoming injection test)
+        return (jnp.bitwise_and(bits, (1 << 23) - 1).astype(jnp.float32) *
+                (1.0 / (1 << 23)))
+
     def make_fwd_kernel(save_traj):
         def fwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
                        inj_ref, pool_ref, *rest):
+            if inkernel_prng:
+                seed_ref = rest[0]
+                rest = rest[1:]
             cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
             rest = rest[n_const:]
             qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
@@ -725,40 +879,46 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             def _init():
                 for ref, val in zip(scratch, pack(carry0(cn))):
                     ref[:] = val
-                qsum_ref[:] = jnp.zeros((1, 1), jnp.float32)
+                qsum_ref[:] = jnp.zeros((1, QW), jnp.float32)
 
             comps = [ref[:] for ref in scratch]
             if save_traj:
                 for tref, val in zip(traj_refs, comps):
                     tref[:] = val[None]
+            rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
+                        else rand_ref[0])
             new_carry, queue, ev = step(unpack(comps), t, action_ref[:],
                                         sched_ref[0], mnext_ref[0],
-                                        mprev_ref[0], rand_ref[0],
-                                        inj_ref[:], pool_ref[:], cn)
+                                        mprev_ref[0], rand_row,
+                                        inj_ref[:], pool_ref[:], cn,
+                                        early_exit=W >= 8)
             for ref, val in zip(scratch, pack(new_carry)):
                 ref[:] = val
-            queues_ref[:] = queue.reshape(1, 1, 1)
+            queues_ref[:] = queue.reshape(1, 1, QW)
             events_ref[:] = ev[None]
             qsum_ref[:] = qsum_ref[:] + queue
 
         return fwd_kernel
 
     def run_forward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                    pool_p, save_traj):
-        out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                     jax.ShapeDtypeStruct((T, 1, 1), jnp.float32),
+                    pool_p, seed_p, save_traj):
+        out_shape = [jax.ShapeDtypeStruct((1, QW), jnp.float32),
+                     jax.ShapeDtypeStruct((T, 1, QW), jnp.float32),
                      jax.ShapeDtypeStruct((T, 1, 8), jnp.float32)]
-        out_specs = [full_spec((1, 1)), t_spec((1, 1)), t_spec((1, 8))]
+        out_specs = [full_spec((1, QW)), t_spec((1, QW)), t_spec((1, 8))]
         if save_traj:
             for _, shp, dt_ in TRAJ:
                 out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
                 out_specs.append(t_spec(shp))
+        seed_spec = [full_spec((1, 1))] if inkernel_prng else []
+        seed_arg = (seed_p,) if inkernel_prng else ()
         return pl.pallas_call(
             make_fwd_kernel(save_traj),
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), t_spec((1, Lp)),
                       t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp)),
                       full_spec((P, R, Lp)), full_spec((P_emit, R, Lp))] +
+                     seed_spec +
                      [full_spec(consts[k].shape) for k in const_names],
             out_specs=out_specs,
             out_shape=out_shape,
@@ -766,7 +926,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             compiler_params=seq_params,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          *(consts[k] for k in const_names))
+          *seed_arg, *(consts[k] for k in const_names))
 
     # ---- backward kernel: reverse grid, one jax.vjp of step per iter ------
     def bwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
@@ -774,10 +934,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
         rest = rest[n_const:]
         traj_refs = rest[:NT]
-        g_action_ref = rest[NT]
-        gscratch = rest[NT + 1:]
+        rest = rest[NT:]
+        if inkernel_prng:
+            seed_ref = rest[0]
+            rest = rest[1:]
+        g_action_ref = rest[0]
+        gscratch = rest[1:]
         i = pl.program_id(0)
         t = T - 1 - i
+        rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
+                    else rand_ref[0])
 
         @pl.when(i == 0)
         def _init():
@@ -786,7 +952,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             g_action_ref[:] = jnp.zeros((NPp, NIp), jnp.float32)
 
         comps = [ref[0] for ref in traj_refs]
-        gq = g_qsum_ref[0, 0] + g_queues_ref[0, 0, 0]
+        if packed:
+            gq = g_qsum_ref[:] + g_queues_ref[0]  # [1, Bp]
+        else:
+            gq = g_qsum_ref[0, 0] + g_queues_ref[0, 0, 0]
 
         def fwd_t(floats, action2d):
             full = list(comps)
@@ -794,7 +963,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 full[j] = v
             new_carry, queue, _ = step(unpack(full), t, action2d,
                                        sched_ref[0], mnext_ref[0],
-                                       mprev_ref[0], rand_ref[0],
+                                       mprev_ref[0], rand_row,
                                        inj_ref[:], pool_ref[:], cn)
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
@@ -817,16 +986,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         g_action_ref[:] = g_action_ref[:] + d_action
 
     def run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                     pool_p, traj, g_qsum, g_queues):
+                     pool_p, seed_p, traj, g_qsum, g_queues):
+        seed_spec = [full_spec((1, 1))] if inkernel_prng else []
+        seed_arg = (seed_p,) if inkernel_prng else ()
         return pl.pallas_call(
             bwd_kernel,
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), rev_spec((1, Lp)),
                       rev_spec((1, Lp)), rev_spec((1, Lp)), rev_spec((1, Lp)),
                       full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
-                      full_spec((1, 1)), rev_spec((1, 1))] +
+                      full_spec((1, QW)), rev_spec((1, QW))] +
                      [full_spec(consts[k].shape) for k in const_names] +
-                     [rev_spec(shp) for _, shp, _ in TRAJ],
+                     [rev_spec(shp) for _, shp, _ in TRAJ] + seed_spec,
             out_specs=full_spec((NPp, NIp)),
             out_shape=jax.ShapeDtypeStruct((NPp, NIp), jnp.float32),
             scratch_shapes=[pltpu.VMEM(TRAJ[j][1], TRAJ[j][2])
@@ -834,38 +1005,50 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             compiler_params=seq_params,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          g_qsum, g_queues, *(consts[k] for k in const_names), *traj)
+          g_qsum, g_queues, *(consts[k] for k in const_names), *traj,
+          *seed_arg)
 
     # ---- custom-VJP episode over padded arrays -----------------------------
-    @jax.custom_vjp
-    def episode(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                pool_p):
-        qsum, queues, events = run_forward(action_p, sched_p, mnext_p,
-                                           mprev_p, rand_p, inj_p, pool_p,
-                                           save_traj=False)
+    def _outs(qsum, queues, events):
+        if packed:
+            return qsum[0], queues[:, 0, :], events[:, 0, :]
         return qsum[0, 0], queues[:, 0, 0], events[:, 0, :]
 
+    @jax.custom_vjp
+    def episode(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
+                pool_p, seed_p):
+        qsum, queues, events = run_forward(action_p, sched_p, mnext_p,
+                                           mprev_p, rand_p, inj_p, pool_p,
+                                           seed_p, save_traj=False)
+        return _outs(qsum, queues, events)
+
     def ep_fwd(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-               pool_p):
+               pool_p, seed_p):
         qsum, queues, events, *traj = run_forward(action_p, sched_p, mnext_p,
                                                   mprev_p, rand_p, inj_p,
-                                                  pool_p, save_traj=True)
-        return (qsum[0, 0], queues[:, 0, 0], events[:, 0, :]), (
-            action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p, traj)
+                                                  pool_p, seed_p,
+                                                  save_traj=True)
+        return _outs(qsum, queues, events), (
+            action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
+            seed_p, traj)
 
     def ep_bwd(res, cots):
         (action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-         traj) = res
+         seed_p, traj) = res
         g_qsum, g_queues, _ = cots  # event counts carry no gradient
         ga = run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                          pool_p, traj, jnp.reshape(g_qsum, (1, 1)),
-                          jnp.reshape(g_queues, (T, 1, 1)))
-        return ga, None, None, None, None, None, None
+                          pool_p, seed_p, traj, jnp.reshape(g_qsum, (1, QW)),
+                          jnp.reshape(g_queues, (T, 1, QW)))
+        return ga, None, None, None, None, None, None, None
 
     episode.defvjp(ep_fwd, ep_bwd)
 
     def fn(action2d, schedule, mnext, mprev, rand, inj_routes,
-           emit_routes, with_events: bool = False):
+           emit_routes, with_events: bool = False, rng_seed=None):
+        if inkernel_prng:
+            assert rng_seed is not None, \
+                "inkernel_prng kernels need rng_seed (the [T, L] rand " \
+                "input is ignored)"
         action_p = jnp.zeros((NPp, NIp), jnp.float32).at[
             :n_phases, :n_inter].set(jnp.asarray(action2d))
         pad_t = lambda x, fill: jnp.pad(
@@ -877,11 +1060,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pool_p = jnp.pad(
             jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
+        seed_p = (jnp.asarray(rng_seed, jnp.int32).reshape(1, 1)
+                  if rng_seed is not None else jnp.zeros((1, 1), jnp.int32))
         qsum, queues, events = episode(
             action_p, pad_t(schedule.astype(jnp.float32), 0.0),
             pad_t(mnext.astype(jnp.int32), -1),
             pad_t(mprev.astype(jnp.int32), -1),
-            pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p)
+            pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p, seed_p)
+        if packed:
+            # per-episode rewards [B] and queue curves [T, B]
+            qsum, queues = qsum[:B_ep], queues[:, :B_ep]
         if with_events:
             # [T, 8] per-step rows: injected, emitted, absorbed,
             # transferred, transfer wins, deposit wins, removals,
@@ -909,7 +1097,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                            pad_t(mnext.astype(jnp.int32), -1),
                            pad_t(mprev.astype(jnp.int32), -1),
                            pad_t(rand.astype(jnp.float32), 2.0), inj_p,
-                           pool_p, save_traj=True)
+                           pool_p, jnp.zeros((1, 1), jnp.int32),
+                           save_traj=True)
         qsum, queues, events = outs[0], outs[1], outs[2]
         traj = {name: arr for (name, _, _), arr in zip(TRAJ, outs[3:])}
         traj["queues"] = queues[:, 0, 0]
@@ -975,5 +1164,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                      np.float32).itemsize
         for _, shp, dt_ in TRAJ))
     fn.geometry = dict(L=L, Lp=Lp, Cp=Cp, Vp=Vp, R=R, K=K, W=W, T=T,
-                       n_phases=n_phases)
+                       n_phases=n_phases, n_inter=n_inter,
+                       episodes=B_ep if packed else 1)
     return fn

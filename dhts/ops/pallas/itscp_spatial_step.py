@@ -1,0 +1,917 @@
+"""Spatially-sharded FUSED ITSCP episode: per-shard Pallas step kernels.
+
+Round-1 shipped two performance pillars that did not compose: the fused
+whole-episode kernel (single device only) and the explicit-collective
+spatial sharding (wrapping the ~100-XLA-op scan step, ~30x slower per
+step). This module is the composition: the scene's lane axis is sharded
+over a mesh axis, and each device runs its local share of every simulation
+step as FIVE single-block Pallas kernels with the round-1 summary
+all_gathers (``dhts/parallel/spatial.py`` layout) and two scalar ``psum``s
+between them:
+
+====  =====================================================================
+A     local state -> pre-physics summary rows + injection bit   [9, l]
+      --- all_gather (lane axis) -> gA [9, L] ---
+B     apply injection; signal-blended macro ghosts; leader walk over the
+      gathered tail/count rows; per-head signal attribution (fsig) +
+      sg-RMS partial sums
+      --- psum (2 scalars) -> signal sigmoid constant ---
+C     soft/hard signal blend of the head deltas; Godunov + IDM physics;
+      flux-capacitor accumulation; post-physics summary rows  [15+2+R, l]
+      --- all_gather -> gF / gI / gRoute ---
+D     conversion: arbitration recomputed redundantly (and identically) on
+      every device from the gathered summaries, local removals / inserts /
+      deposits; is-static-RMS partial sums
+      --- psum (2 scalars) -> queue sigmoid constant ---
+E     RMS-sharpened soft queue -> per-step local queue partial
+====  =====================================================================
+
+Per-step queue partials are summed over the scan and psum'd ONCE per
+episode (the sums commute). Per step this is 5 kernel launches + 3
+collectives + a handful of glue ops, vs ~100+ XLA ops for the sharded scan
+step.
+
+Step formulas mirror ``dhts/ops/pallas/itscp_hybrid_episode.py::step`` (the
+single-device kernel, parity-tested against the scan env and the PyTorch
+reference) with every cross-lane read routed through the gathered
+summaries — the SAME 8+1 pre / 15+2+R post rows the round-1 spatial scan
+path gathers. Reductions run over differently padded axes than the scan
+path, so parity vs ``make_spatial_episode`` is tight-tolerance (~1e-5),
+not bit-exact (tests/test_spatial_fused.py).
+
+Scaling caveat: the conversion *arbitration* gathers are global->global
+(one-hot [Lg, Lg] matmuls recomputed on every device), so per-device work
+has an O(Lg^2) term that does not shrink with more shards; the dominant
+physics / walk / summary terms are all O(Lg * l_loc). Vehicle ids are not
+tracked (the episode result never exposes them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dhts.ops import arz, idm
+from dhts.ops.pallas import _compat  # noqa: F401
+from dhts.ops.pallas.dkernel import make_dkernel
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
+                               axis_name: str = "lane",
+                               interpret: bool | None = None):
+    """Build ``episode(action_flat, key) -> EpisodeResult`` running the
+    fused per-shard step kernels under ``shard_map``."""
+    from dhts.apps.control.itscp.env import EpisodeResult
+
+    spec, meta, config = env.spec, env.meta, dict(env.config)
+    state0, data = env.base_state, env.data
+    L = int(spec.num_lanes)
+    n_shard = int(mesh.shape[axis_name])
+    assert L % n_shard == 0, (L, n_shard)
+    l_loc = L // n_shard
+    lp = _round_up(l_loc, _LANE)
+    Lgp = _round_up(L, _LANE)
+    C = int(spec.max_cells)
+    Cp = _round_up(C, _SUBLANE)
+    V = int(state0.micro.position.shape[1])
+    Vp = _round_up(V, _SUBLANE)
+    R = int(state0.micro.route.shape[2])
+    K = int(np.asarray(spec.next_lanes).shape[1])
+    P_inj = int(data.inj_routes.shape[1])
+    P_emit = int(state0.route_pool.shape[1])
+    T = int(env.num_timestep)
+    nsf = config["simulation_frequency"] * config["signal_length"]
+    n_phases = max(1, (config["policy_length"] * config["duration"]) //
+                   config["signal_length"])
+    n_inter = config["num_intersection"] ** 2
+    NIp = _round_up(n_inter, _LANE)
+    NPp = _round_up(n_phases, _SUBLANE)
+    NSFp = _round_up(nsf, _SUBLANE)
+    dt = 1.0 / config["simulation_frequency"]
+    u_max = float(config["speed_limit"])
+    static_speed = float(config["static_speed"])
+    veh_len = float(config["vehicle_length"])
+    diff = differentiable
+    win = max(1, min(int(getattr(env, "_fused_win_needed", R - 1)), R - 1))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # ---- static constants --------------------------------------------------
+    def grow(x, dtype=np.float32, fill=0.0):
+        out = np.full((1, Lgp), fill, dtype)
+        out[0, :L] = np.asarray(x)
+        return out
+
+    def lrow(x, dtype=np.float32, fill=0.0):
+        out = np.full((n_shard, 1, lp), fill, dtype)
+        out[:, 0, :l_loc] = np.asarray(x).reshape(n_shard, l_loc)
+        return out
+
+    num_cell = np.asarray(spec.num_cell)
+    is_macro_np = np.asarray(spec.is_macro)
+    prev_np = np.asarray(spec.prev_lanes)
+    prev_k_g = np.full((K, Lgp), -1, np.int32)
+    prev_k_g[:, :L] = prev_np.T
+    inter_pick_g = np.zeros((NIp, Lgp), np.float32)
+    for li in range(L):
+        inter_pick_g[int(np.asarray(meta.inter)[li]), li] = 1.0
+    prog_tab = np.zeros((NSFp, 1), np.float32)
+    prog_tab[:nsf, 0] = np.minimum(np.arange(nsf) / nsf, 1.0)
+    G = dict(
+        is_macro_g=grow(is_macro_np.astype(np.float32)),
+        length_g=grow(np.asarray(spec.length), fill=1.0),
+        real_g=grow(np.ones(L)),
+        appr_g=grow(np.asarray(meta.approaching)),
+        is_we_g=grow(np.asarray(meta.is_we)),
+        prev_k_g=prev_k_g, inter_pick_g=inter_pick_g, prog=prog_tab)
+    G = {k: jnp.asarray(v) for k, v in G.items()}
+    g_names = sorted(G.keys())
+
+    lc = dict(
+        lane_mask=lrow(np.ones(L)),
+        is_macro=lrow(is_macro_np.astype(np.float32)),
+        length=lrow(np.asarray(spec.length), fill=1.0),
+        cell_len=lrow(np.asarray(spec.cell_length), fill=1.0),
+        has_prev=lrow(np.asarray(meta.has_prev)),
+        num_prev=lrow(np.asarray(spec.num_prev), np.int32),
+        num_next=lrow(np.asarray(spec.num_next), np.int32),
+        prev0=lrow(prev_np[:, 0], np.int32, -1),
+        next0=lrow(np.asarray(spec.next_lanes)[:, 0], np.int32, -1),
+        gid=lrow(np.arange(L), np.int32, -1),
+    )
+    lc["coef"] = (dt / lc["cell_len"]).astype(np.float32)
+    next_k_l = np.full((n_shard, K, lp), -1, np.int32)
+    next_k_l[:, :, :l_loc] = np.asarray(spec.next_lanes).reshape(
+        n_shard, l_loc, K).transpose(0, 2, 1)
+    lc["next_k"] = next_k_l
+    cmask = np.zeros((n_shard, Cp, lp), np.float32)
+    first_pick = np.zeros((n_shard, Cp, lp), np.float32)
+    last_pick = np.zeros((n_shard, Cp, lp), np.float32)
+    for li in range(L):
+        s, j = li // l_loc, li % l_loc
+        if is_macro_np[li]:
+            cmask[s, : int(num_cell[li]), j] = 1.0
+            first_pick[s, 0, j] = 1.0
+            last_pick[s, max(int(num_cell[li]) - 1, 0), j] = 1.0
+    lc.update(cmask=cmask, first_pick=first_pick, last_pick=last_pick)
+    lc_names = sorted(lc.keys())
+    dflt = dict(accel_max=u_max, accel_pref=0.8 * u_max,
+                target_speed=0.9 * u_max, min_space=0.1 * veh_len,
+                time_pref=0.1, length=veh_len)
+
+    # routes, lane-minor per shard
+    inj_np = np.asarray(data.inj_routes)  # [L, P, R]
+    inj_l = np.full((n_shard, P_inj, R, lp), -1, np.int32)
+    inj_l[:, :, :, :l_loc] = inj_np.reshape(
+        n_shard, l_loc, P_inj, R).transpose(0, 2, 3, 1)
+    pool_np = np.asarray(state0.route_pool)
+    pool_l = np.full((n_shard, P_emit, R, lp), -1, np.int32)
+    pool_l[:, :, :, :l_loc] = pool_np.reshape(
+        n_shard, l_loc, P_emit, R).transpose(0, 2, 3, 1)
+
+    # ---- small helpers -----------------------------------------------------
+    def soft(x, c):
+        return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
+
+    def gate(x, c):
+        return soft(x, c) if diff else (x > 0).astype(jnp.float32)
+
+    def oh(idx_row, rows, cols):
+        return (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) ==
+                idx_row).astype(jnp.float32)
+
+    def gat(rows, idx_row, n_rows_src, n_cols, prebuilt=None):
+        mat = jnp.concatenate(rows, axis=0)
+        o = oh(idx_row, n_rows_src, n_cols) if prebuilt is None else prebuilt
+        return jnp.dot(mat, o, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def gat_sg(rows, idx_row, n_rows_src, n_cols, prebuilt=None):
+        return jax.lax.stop_gradient(gat(rows, idx_row, n_rows_src, n_cols,
+                                         prebuilt))
+
+    def head_oh(count):
+        h = jnp.maximum(count - 1, 0)
+        return (jax.lax.broadcasted_iota(jnp.int32, (Vp, lp), 0) ==
+                h).astype(jnp.float32)
+
+    def pick_v(arr, ohv):
+        return jnp.sum(arr * ohv, axis=0, keepdims=True)
+
+    def pick_route(route, ohv):
+        return jnp.sum(route * ohv[:, None, :], axis=0)
+
+    def pick_r(route_rl, j_row, cols):
+        ohr = ((jax.lax.broadcasted_iota(jnp.int32, (R, cols), 0) == j_row) &
+               (j_row >= 0) & (j_row < R)).astype(jnp.float32)
+        val = jnp.sum(route_rl.astype(jnp.float32) * ohr, axis=0,
+                      keepdims=True)
+        return jnp.where((j_row >= 0) & (j_row < R), val.astype(jnp.int32),
+                         -1)
+
+    def tail_insert(arr, new_row, mask_row):
+        shifted = jnp.concatenate([new_row[None], arr[:-1]], axis=0)
+        return jnp.where(mask_row, shifted, arr)
+
+    def _consts(rest):
+        return (dict(zip(lc_names, rest[:len(lc_names)])),
+                dict(zip(g_names, rest[len(lc_names):])))
+
+    def lane_sig_global(action2d, t, gd):
+        phase = jnp.minimum(t // nsf, n_phases - 1)
+        ph_oh = (jax.lax.broadcasted_iota(jnp.int32, (NPp, 1), 0) ==
+                 phase).astype(jnp.float32)
+        a_row = jnp.sum(action2d * ph_oh, axis=0, keepdims=True)
+        a_lane = jnp.dot(a_row, gd["inter_pick_g"],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
+                 (t % nsf)).astype(jnp.float32)
+        progress = jnp.sum(gd["prog"] * pr_oh)
+        g_axis = jnp.where(gd["is_we_g"] > 0, gate(a_lane - progress, 32.0),
+                           gate(progress - a_lane, 32.0))
+        return jnp.where(gd["appr_g"] > 0, g_axis, 1.0)
+
+    CNAMES = ("r", "y", "pos", "vel", "av", "p_amax", "p_apref", "p_vt",
+              "p_ms", "p_tp", "p_len", "count", "route", "ridx", "cap",
+              "inj_left", "cursor")
+    N_CARRY = len(CNAMES)
+    CARRY_DIFF = (0, 1, 2, 3, 4, 14)  # r y pos vel av cap
+
+    def carry_of(args):
+        return dict(zip(CNAMES, args))
+
+    # ======================================================================
+    # kernel bodies
+    # ======================================================================
+    def body_A(*args):
+        cy = carry_of(args[:N_CARRY])
+        rand_t, sched_t = args[N_CARRY], args[N_CARRY + 1]
+        cn, gd = _consts(args[N_CARRY + 2:])
+        u = arz.compute_u(cy["r"], cy["y"], u_max)
+        r_first = jnp.sum(cy["r"] * cn["first_pick"], axis=0, keepdims=True)
+        u_first = jnp.sum(u * cn["first_pick"], axis=0, keepdims=True)
+        r_last = jnp.sum(cy["r"] * cn["last_pick"], axis=0, keepdims=True)
+        u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
+        incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
+        free = jnp.where(cy["count"] > 0,
+                         cy["pos"][:1] - 0.5 * cy["p_len"][:1],
+                         cn["length"])
+        inject = ((cn["has_prev"] == 0) & (cn["is_macro"] < 0.5) &
+                  (free > 0.5 * veh_len) & (rand_t < incoming) &
+                  (cy["inj_left"] > 0) & (cy["count"] < V) &
+                  (cn["lane_mask"] > 0))
+        sumA = jnp.concatenate([
+            r_first, u_first, r_last, u_last,
+            cy["count"].astype(jnp.float32), cy["pos"][:1], cy["vel"][:1],
+            cy["p_len"][:1], inject.astype(jnp.float32)], axis=0)
+        return (sumA,)
+
+    def body_B(*args):
+        cy = carry_of(args[:N_CARRY])
+        gA, action2d, t2d, mnext_t, mprev_t, sched_t, inj_routes = args[
+            N_CARRY: N_CARRY + 7]
+        cn, gd = _consts(args[N_CARRY + 7:])
+        t = t2d[0, 0]
+        incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
+        sig_g = lane_sig_global(action2d, t, gd)
+        sig = gat([sig_g], cn["gid"], Lgp, lp)
+        sig = jnp.where(cn["lane_mask"] > 0, sig, 1.0)
+
+        g_inj = gA[8:9] > 0.5
+        gcount = gA[4:5] + g_inj.astype(jnp.float32)
+        gtail_pos = jnp.where(g_inj, 0.0, gA[5:6])
+        gtail_vel = jnp.where(g_inj, 0.0, gA[6:7])
+        gtail_len = jnp.where(g_inj, veh_len, gA[7:8])
+
+        # ---- apply the local injections (bit sliced from the summary)
+        inject = (gat_sg([gA[8:9]], cn["gid"], Lgp, lp) > 0.5) & \
+            (cn["lane_mask"] > 0)
+        pool_idx = jnp.clip(P_inj - cy["inj_left"], 0, P_inj - 1)
+        ohp = ((jax.lax.broadcasted_iota(jnp.int32, (P_inj, 1, lp), 0) ==
+                pool_idx[None]).astype(jnp.float32))
+        new_route = jnp.sum(inj_routes.astype(jnp.float32) * ohp,
+                            axis=0).astype(jnp.int32)
+        im = inject
+        pos = tail_insert(cy["pos"], jnp.zeros((lp,)), im)
+        vel = tail_insert(cy["vel"], jnp.zeros((lp,)), im)
+        av = tail_insert(cy["av"], jnp.full((lp,), veh_len), im)
+        p_amax = tail_insert(cy["p_amax"],
+                             jnp.full((lp,), dflt["accel_max"]), im)
+        p_apref = tail_insert(cy["p_apref"],
+                              jnp.full((lp,), dflt["accel_pref"]), im)
+        p_vt = tail_insert(cy["p_vt"],
+                           jnp.full((lp,), dflt["target_speed"]), im)
+        p_ms = tail_insert(cy["p_ms"], jnp.full((lp,), dflt["min_space"]),
+                           im)
+        p_tp = tail_insert(cy["p_tp"], jnp.full((lp,), dflt["time_pref"]),
+                           im)
+        p_len = tail_insert(cy["p_len"], jnp.full((lp,), dflt["length"]),
+                            im)
+        route = jnp.where(im[None], jnp.concatenate(
+            [new_route[None], cy["route"][:-1]], axis=0), cy["route"])
+        ridx = tail_insert(cy["ridx"], jnp.zeros((lp,), jnp.int32), im)
+        count = cy["count"] + im.astype(jnp.int32)
+        inj_left = cy["inj_left"] - im.astype(jnp.int32)
+        n_inj = jnp.sum(im.astype(jnp.float32)).reshape(1, 1)
+
+        # ---- macro ghosts (summary-sourced)
+        hp_b = cn["has_prev"] > 0
+        adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
+        gp = gat([gd["is_macro_g"], gA[2:3], gA[3:4]], adjp, Lgp, lp)
+        use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & (gp[0:1] > 0.5)
+        gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0), incoming)
+        gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
+                         arz.compute_u_eq(incoming, u_max))
+        prev_sig = jnp.where(~hp_b, 1.0,
+                             jnp.where(mprev_t < 0, 0.0,
+                                       gat([sig_g], mprev_t, Lgp, lp)))
+        bl_r = gl_r * prev_sig
+        bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
+        adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
+        gn = gat([gd["is_macro_g"], gA[0:1], gA[1:2]], adjn, Lgp, lp)
+        use_nb_r = (cn["num_next"] > 0) & (adjn >= 0) & (gn[0:1] > 0.5)
+        gr_r = jnp.where(use_nb_r, gn[1:2], 0.0)
+        gr_u = jnp.where(use_nb_r, gn[2:3], u_max)
+
+        # ---- leader walk
+        ohv_h = head_oh(count)
+        hv_pos = pick_v(pos, ohv_h)
+        hv_vel = pick_v(vel, ohv_h)
+        hv_len = pick_v(p_len, ohv_h)
+        route_h = pick_route(route, ohv_h)
+        ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
+        h_exists = (count > 0) & (cn["lane_mask"] > 0)
+        base = cn["length"] - hv_pos - hv_len * 0.5
+        done = ~h_exists
+        found = jnp.zeros((1, lp), jnp.bool_)
+        wstar = jnp.full((1, lp), -1, jnp.int32)
+        cdel_st = jnp.zeros((1, lp))
+        cur_delta = base
+        for o in range(win):
+            j = ridx_h + 1 + o
+            wl = pick_r(route_h, j, lp)
+            exists = wl >= 0
+            gw = gat_sg([gd["is_macro_g"], gcount, gd["length_g"]], wl, Lgp,
+                        lp)
+            w_macro = gw[0:1] > 0.5
+            occupied = exists & ~w_macro & (gw[1:2] > 0.5)
+            term_default = ~done & (~exists | (exists & w_macro))
+            term_leader = ~done & occupied
+            wstar = jnp.where(term_leader, wl, wstar)
+            cdel_st = jnp.where(term_leader,
+                                jax.lax.stop_gradient(cur_delta), cdel_st)
+            found = found | term_leader
+            done = done | term_default | term_leader
+            cur_delta = jnp.where(~done, cur_delta + gw[2:3], cur_delta)
+        gt = gat([gtail_pos, gtail_vel, gtail_len],
+                 jnp.where(found, wstar, -1), Lgp, lp)
+        cdel = cdel_st + (base - jax.lax.stop_gradient(base))
+        new_pd = jnp.maximum(cdel + gt[0:1] - gt[2:3] * 0.5, 0.0)
+        pd_g = jnp.where(found, new_pd, 1000.0)
+        sd_g = jnp.where(found, hv_vel - gt[1:2], 0.0)
+
+        # ---- fsig
+        red_pd = jnp.maximum(cn["length"] - hv_pos - hv_len * 0.5, 0.0)
+        prev_l = pick_r(route_h, ridx_h - 1, lp)
+        next_l = pick_r(route_h, ridx_h + 1, lp)
+        curr_l = pick_r(route_h, ridx_h, lp)
+        prev_exist = prev_l >= 0
+        next_exist = next_l >= 0
+        if diff:
+            p_sc = jnp.where(prev_exist, soft(-hv_pos, 16.0), 0.0)
+            c_sc = soft(hv_pos, 16.0) * soft(cn["length"] - hv_pos, 16.0)
+            n_sc = jnp.where(next_exist, soft(hv_pos - cn["length"], 16.0),
+                             0.0)
+        else:
+            p_sc = jnp.zeros((1, lp))
+            c_sc = jnp.ones((1, lp))
+            n_sc = jnp.zeros((1, lp))
+        ssum = p_sc + c_sc + n_sc
+        p_sc, c_sc, n_sc = p_sc / ssum, c_sc / ssum, n_sc / ssum
+        oh3 = jnp.concatenate([oh(curr_l, Lgp, lp), oh(prev_l, Lgp, lp),
+                               oh(next_l, Lgp, lp)], axis=1)
+        sig3 = jnp.dot(sig_g, oh3, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        fsig = c_sc * sig3[:, :lp]
+        fsig += jnp.where(prev_exist, p_sc * sig3[:, lp:2 * lp], 0.0)
+        fsig += jnp.where(next_exist, n_sc * sig3[:, 2 * lp:], 0.0)
+        blend_f = (h_exists & (cn["is_macro"] < 0.5)).astype(jnp.float32)
+        sg_part = jax.lax.stop_gradient(jnp.concatenate(
+            [jnp.sum(fsig * blend_f).reshape(1, 1),
+             jnp.sum(blend_f).reshape(1, 1)], axis=1))
+
+        return (pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
+                count, route, ridx, inj_left, bl_r, bl_u, gr_r, gr_u, sig,
+                pd_g, sd_g, red_pd, fsig, blend_f, n_inj, sg_part)
+
+    def body_C(*args):
+        cy = carry_of(args[:N_CARRY])
+        (bl_r, bl_u, gr_r, gr_u, sig, pd_g, sd_g, red_pd, fsig, blend_f,
+         c_sig, mnext_t) = args[N_CARRY: N_CARRY + 12]
+        cn, gd = _consts(args[N_CARRY + 12:])
+        r, y, pos, vel = cy["r"], cy["y"], cy["pos"], cy["vel"]
+        count, p_len = cy["count"], cy["p_len"]
+
+        if diff:
+            fs = soft(fsig - 0.5, c_sig[0, 0])
+            pd = pd_g * fs + red_pd * (1.0 - fs)
+            sd = sd_g * fs
+        else:
+            green = fsig >= 0.5
+            pd = jnp.where(green, pd_g, red_pd)
+            sd = jnp.where(green, sd_g, 0.0)
+        blend = blend_f > 0.5
+        pd = jnp.where(blend, pd, pd_g)
+        sd = jnp.where(blend, sd, sd_g)
+        s_own = soft(sig - 0.5, 32.0) if diff else \
+            (sig > 0.5).astype(jnp.float32)
+        br_r = gr_r * s_own + (1.0 - s_own)
+        br_u = gr_u * s_own
+
+        br_y = arz.compute_y(br_r, br_u, u_max)
+        r = jnp.where(cn["cmask"] > 0, r, br_r)
+        y = jnp.where(cn["cmask"] > 0, y, br_y)
+        u = arz.compute_u(r, y, u_max)
+        bl_y = arz.compute_y(bl_r, bl_u, u_max)
+        rl = jnp.concatenate([bl_r, r], axis=0)
+        yl = jnp.concatenate([bl_y, y], axis=0)
+        ul = jnp.concatenate([bl_u, u], axis=0)
+        rr_ = jnp.concatenate([r, br_r], axis=0)
+        ur_ = jnp.concatenate([u, br_u], axis=0)
+        sol = arz.riemann_solve(rl, yl, ul, rr_, ur_, u_max)
+        max_wave = jnp.max(jnp.maximum(jnp.abs(sol.speed0),
+                                       jnp.abs(sol.speed1)) *
+                           cn["is_macro"]).reshape(1, 1)
+        fr = sol.r0 * sol.u0
+        fy = sol.y0 * sol.u0
+        r = jnp.where(cn["cmask"] > 0, r + (fr[:-1] - fr[1:]) * cn["coef"],
+                      r)
+        y = jnp.where(cn["cmask"] > 0, y + (fy[:-1] - fy[1:]) * cn["coef"],
+                      y)
+
+        lead_pos = jnp.concatenate([pos[1:], jnp.zeros((1, lp))], axis=0)
+        lead_vel = jnp.concatenate([vel[1:], jnp.zeros((1, lp))], axis=0)
+        lead_len = jnp.concatenate([p_len[1:], p_len[:1]], axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, lp), 0)
+        active = rows < count
+        is_head = rows == (count - 1)
+        gap = jnp.abs(lead_pos - pos) - (lead_len + p_len) * 0.5
+        dv = vel - lead_vel
+        gap = jnp.where(is_head, pd, gap)
+        dv = jnp.where(is_head, sd, dv)
+        coll = gap < 0.0
+        gap = jnp.maximum(jnp.where(coll, 0.0, gap), idm.POSITION_DELTA_EPS)
+        dv = jnp.where(coll, 0.0, dv)
+        res = idm.idm_acceleration(cy["p_amax"], cy["p_apref"], vel,
+                                   cy["p_vt"], gap, dv, cy["p_ms"],
+                                   cy["p_tp"], dt)
+        acc = jnp.where(active, res.acceleration, 0.0)
+        pos = jnp.where(active, pos + dt * vel, pos)
+        vel = jnp.where(active, vel + dt * acc, vel)
+
+        u = arz.compute_u(r, y, u_max)
+        r_last = jnp.sum(r * cn["last_pick"], axis=0, keepdims=True)
+        u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
+        macro_src = (cn["is_macro"] > 0) & (mnext_t >= 0)
+        gmn = gat_sg([gd["is_macro_g"]], mnext_t, Lgp, lp)
+        next_is_micro = macro_src & (gmn[0:1] < 0.5)
+        inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
+        slot_oh = ((cn["next_k"] == mnext_t) &
+                   (cn["next_k"] >= 0)).astype(jnp.float32)
+        cap = cy["cap"] + slot_oh * inc
+        cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
+
+        ohv_h = head_oh(count)
+        sumF = jnp.concatenate([
+            r_last, u_last, count.astype(jnp.float32), pos[:1], p_len[:1],
+            cap_val, pick_v(pos, ohv_h), pick_v(vel, ohv_h),
+            pick_v(p_len, ohv_h), pick_v(cy["av"], ohv_h),
+            pick_v(cy["p_amax"], ohv_h), pick_v(cy["p_apref"], ohv_h),
+            pick_v(cy["p_vt"], ohv_h), pick_v(cy["p_ms"], ohv_h),
+            pick_v(cy["p_tp"], ohv_h)], axis=0)
+        sumI = jnp.concatenate(
+            [mnext_t,
+             pick_v(cy["ridx"].astype(jnp.float32),
+                    ohv_h).astype(jnp.int32)], axis=0)
+        route_h = pick_route(cy["route"], ohv_h)
+        return (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h)
+
+    # rows of the gathered post summary gF
+    F_RLAST, F_ULAST, F_COUNT, F_TPOS, F_TLEN, F_CAP = 0, 1, 2, 3, 4, 5
+    F_HPOS, F_HVEL, F_HLEN, F_HA = 6, 7, 8, 9
+    F_AMAX, F_APREF, F_VT, F_MS, F_TP = 10, 11, 12, 13, 14
+
+    def body_D(*args):
+        cy = carry_of(args[:N_CARRY])
+        gF, gI, gRoute, off2d, pool_routes = args[N_CARRY: N_CARRY + 5]
+        cn, gd = _consts(args[N_CARRY + 5:])
+        r, y = cy["r"], cy["y"]
+        pos, vel, av = cy["pos"], cy["vel"], cy["av"]
+        count, route, ridx = cy["count"], cy["route"], cy["ridx"]
+        cap, cursor = cy["cap"], cy["cursor"]
+        fro = lambda i: gF[i: i + 1]
+
+        # ---- global arbitration (identical on every device)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lgp), 1)
+        real = gd["real_g"] > 0
+        count_g = fro(F_COUNT)
+        mn_g = gI[0:1]
+        ridx_g = gI[1:2]
+
+        def gatg(rows, idx):
+            return gat_sg(rows, idx, Lgp, Lgp)
+
+        gmn = gatg([gd["is_macro_g"], count_g, fro(F_TPOS), fro(F_TLEN),
+                    gd["length_g"]], mn_g)
+        next_is_micro = (gd["is_macro_g"] > 0) & (mn_g >= 0) & \
+            (gmn[0:1] < 0.5) & real
+        dest_count = gmn[1:2]
+        free_n = jnp.where(dest_count > 0.5, gmn[2:3] - 0.5 * gmn[3:4],
+                           gmn[4:5])
+        cap_val_g = fro(F_CAP)
+        want_emit = (next_is_micro &
+                     (jax.lax.stop_gradient(cap_val_g) >= veh_len) &
+                     (free_n >= veh_len) & (dest_count < V))
+
+        h_exists_g = (count_g > 0.5) & real
+        j = ridx_g + 1
+        ohr = ((jax.lax.broadcasted_iota(jnp.int32, (R, Lgp), 0) == j) &
+               (j >= 0) & (j < R)).astype(jnp.float32)
+        hnext = jnp.where(
+            (j >= 0) & (j < R),
+            jnp.sum(gRoute.astype(jnp.float32) * ohr, axis=0,
+                    keepdims=True).astype(jnp.int32), -1)
+        past_end = h_exists_g & (fro(F_HPOS) >= gd["length_g"])
+        ghn = gatg([gd["is_macro_g"], count_g], hnext)
+        hn_macro = (hnext >= 0) & (ghn[0:1] > 0.5)
+        hn_micro = (hnext >= 0) & ~hn_macro
+        exit_none = past_end & (hnext < 0)
+        want_tr = past_end & hn_micro & (ghn[1:2] < V)
+        want_dep = h_exists_g & hn_macro & (fro(F_HPOS) >
+                                            gd["length_g"] + fro(F_HLEN))
+
+        best = jnp.full((1, Lgp), Lgp, jnp.int32)
+        dep_best = jnp.full((1, Lgp), Lgp, jnp.int32)
+        mn_f = mn_g.astype(jnp.float32)
+        tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
+        dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
+        we_f = want_emit.astype(jnp.float32)
+        for k in range(K):
+            pk = gd["prev_k_g"][k: k + 1]
+            ok = pk >= 0
+            gk = gatg([mn_f, we_f, tr_tgt, dep_tgt], pk)
+            tgt = gk[0:1].astype(jnp.int32)
+            c_emit = ok & (gk[1:2] > 0.5) & (tgt == g_ids)
+            c_tr = ok & (gk[2:3].astype(jnp.int32) == g_ids)
+            best = jnp.minimum(best, jnp.where(c_emit | c_tr, pk, Lgp))
+            dep_best = jnp.minimum(
+                dep_best,
+                jnp.where(ok & (gk[3:4].astype(jnp.int32) == g_ids), pk,
+                          Lgp))
+
+        mn_c = jnp.clip(mn_g, 0, Lgp - 1)
+        hn_c = jnp.clip(hnext, 0, Lgp - 1)
+        bwin = gatg([best.astype(jnp.float32)], mn_c)
+        emit_win_g = want_emit & (bwin[0:1].astype(jnp.int32) == g_ids)
+        gwin = gatg([best.astype(jnp.float32),
+                     dep_best.astype(jnp.float32)], hn_c)
+        tr_win_g = want_tr & (gwin[0:1].astype(jnp.int32) == g_ids)
+        dep_win_g = want_dep & (gwin[1:2].astype(jnp.int32) == g_ids)
+        remove_g = exit_none | dep_win_g | tr_win_g
+        has_ins_g = best < Lgp
+        src_mac_g = gatg([gd["is_macro_g"]],
+                         jnp.where(has_ins_g, best, -1))
+        is_emit_g = has_ins_g & (src_mac_g[0:1] > 0.5)
+
+        # ---- slice the per-lane arbitration results to the local block
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (Lgp, lp), 0) ==
+               (off2d[0, 0] +
+                jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1))
+               ).astype(jnp.float32)
+        srows = jax.lax.stop_gradient(jnp.dot(jnp.concatenate(
+            [remove_g.astype(jnp.float32), emit_win_g.astype(jnp.float32),
+             has_ins_g.astype(jnp.float32),
+             jnp.where(has_ins_g, best, -1).astype(jnp.float32),
+             jnp.where(dep_best < Lgp, dep_best, -1).astype(jnp.float32)],
+            axis=0), sel, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+        lm = cn["lane_mask"] > 0
+        remove = (srows[0:1] > 0.5) & lm
+        emit_win = (srows[1:2] > 0.5) & lm
+        has_ins = (srows[2:3] > 0.5) & lm
+        src = jnp.where(has_ins, srows[3:4].astype(jnp.int32), -1)
+        dep_src = jnp.where(lm, srows[4:5].astype(jnp.int32), -1)
+
+        count = count - remove.astype(jnp.int32)
+        # capacitor decrement on the winning slot (mnext sliced locally)
+        mn_loc = gat_sg([mn_f], cn["gid"], Lgp, lp).astype(jnp.int32)
+        mn_loc = jnp.where(gat_sg([(mn_g < 0).astype(jnp.float32)],
+                                  cn["gid"], Lgp, lp) > 0.5, -1, mn_loc)
+        slot_oh = ((cn["next_k"] == mn_loc) &
+                   (cn["next_k"] >= 0)).astype(jnp.float32)
+        cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
+        cap_dec = jnp.where(emit_win,
+                            jax.lax.stop_gradient(cap_val - veh_len),
+                            cap_val)
+        cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
+
+        # ---- inserts (fields gathered from the GLOBAL post summary)
+        oh_src = oh(src, Lgp, lp)
+        gsg = gat_sg(
+            [gd["is_macro_g"], gd["length_g"], ridx_g.astype(jnp.float32),
+             fro(F_AMAX), fro(F_APREF), fro(F_VT), fro(F_MS), fro(F_TP),
+             fro(F_HLEN), gRoute.astype(jnp.float32)], src, Lgp, lp,
+            prebuilt=oh_src)
+        emit_carrier_g = veh_len + cap_val_g - jax.lax.stop_gradient(
+            cap_val_g)
+        gdf = gat([fro(F_HPOS), fro(F_ULAST), fro(F_HVEL), fro(F_HA),
+                   emit_carrier_g], src, Lgp, lp, prebuilt=oh_src)
+        src_is_macro = gsg[0:1] > 0.5
+        is_emit_d = has_ins & src_is_macro
+        new_pos_d = jnp.where(is_emit_d, 0.0, gdf[0:1] - gsg[1:2])
+        new_vel_d = jnp.where(is_emit_d, gdf[1:2], gdf[2:3])
+        new_a_d = jnp.where(is_emit_d, gdf[4:5], gdf[3:4])
+        newp = {}
+        for i, nm in enumerate(("accel_max", "accel_pref", "target_speed",
+                                "min_space", "time_pref")):
+            newp[nm] = jnp.where(is_emit_d, dflt[nm], gsg[3 + i: 4 + i])
+        newp["length"] = jnp.where(is_emit_d, dflt["length"], gsg[8:9])
+        ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, lp), 0) ==
+                (cursor % P_emit)[None]).astype(jnp.float32))
+        pool_route = jnp.sum(pool_routes.astype(jnp.float32) * ohc, axis=0)
+        new_route_d = jnp.where(is_emit_d, pool_route, gsg[9:]).astype(
+            jnp.int32)
+        new_ridx_d = jnp.where(
+            is_emit_d, 0, gsg[2:3].astype(jnp.int32) + 1).astype(jnp.int32)
+
+        hm = has_ins
+        pos = tail_insert(pos, new_pos_d[0], hm)
+        vel = tail_insert(vel, new_vel_d[0], hm)
+        av = tail_insert(av, new_a_d[0], hm)
+        p_amax = tail_insert(cy["p_amax"], newp["accel_max"][0], hm)
+        p_apref = tail_insert(cy["p_apref"], newp["accel_pref"][0], hm)
+        p_vt = tail_insert(cy["p_vt"], newp["target_speed"][0], hm)
+        p_ms = tail_insert(cy["p_ms"], newp["min_space"][0], hm)
+        p_tp = tail_insert(cy["p_tp"], newp["time_pref"][0], hm)
+        p_len = tail_insert(cy["p_len"], newp["length"][0], hm)
+        route = jnp.where(hm[None], jnp.concatenate(
+            [new_route_d[None], route[:-1]], axis=0), route)
+        ridx = tail_insert(ridx, new_ridx_d[0], hm)
+        count = count + hm.astype(jnp.int32)
+        cursor = cursor + is_emit_d.astype(jnp.int32)
+
+        # ---- deposits (gather at the CLIPPED index: a -1 gather yields
+        # zeros and the add_r division would produce NaN under the masked
+        # branch's zero cotangent — the round-1 dead-branch lesson)
+        dep_has = dep_src >= 0
+        gdep = gat([fro(F_HPOS), gd["length_g"], fro(F_HLEN), fro(F_HA),
+                    fro(F_HVEL)], jnp.clip(dep_src, 0, Lgp - 1), Lgp, lp)
+        v_head = gdep[0:1] - gdep[1:2]
+        v_tail = v_head - gdep[2:3]
+        cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, lp), 0).astype(
+            jnp.float32)
+        c_tail = cells * cn["cell_len"]
+        c_head = (cells + 1.0) * cn["cell_len"]
+        ov = ((c_head > v_tail) & (c_tail < v_head) & (cn["cmask"] > 0) &
+              dep_has & (cn["cell_len"] > v_tail))
+        max_head = jnp.maximum(c_head, v_head)
+        min_tail = jnp.minimum(c_tail, v_tail)
+        overlap = cn["cell_len"] + gdep[2:3] - (max_head - min_tail)
+        add_r = (gdep[3:4] / jax.lax.stop_gradient(gdep[2:3]) *
+                 (overlap / cn["cell_len"]))
+        n_r = r + add_r
+        n_r = n_r - jax.lax.stop_gradient(n_r - jnp.clip(n_r, 1e-5,
+                                                         1.0 - 1e-5))
+        r = jnp.where(ov, n_r, r)
+        y = jnp.where(ov, arz.compute_y(n_r, gdep[4:5], u_max), y)
+
+        # ---- is-static RMS partials (post-conversion)
+        u_cells = arz.compute_u(r, y, u_max)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, lp), 0)
+        veh_m = ((rows < count) & (cn["is_macro"] < 0.5) &
+                 lm).astype(jnp.float32)
+        ss_part = jax.lax.stop_gradient(jnp.concatenate(
+            [(jnp.sum((static_speed - u_cells) * cn["cmask"]) +
+              jnp.sum((static_speed - vel) * veh_m)).reshape(1, 1),
+             (jnp.sum(cn["cmask"]) + jnp.sum(veh_m)).reshape(1, 1)],
+            axis=1))
+        # global event counts (identical on every device)
+        evf = lambda m: jnp.sum((m & real).astype(jnp.float32))
+        ev = jax.lax.stop_gradient(jnp.concatenate(
+            [evf(is_emit_g).reshape(1, 1),
+             evf(exit_none | dep_win_g).reshape(1, 1),
+             evf(tr_win_g).reshape(1, 1)], axis=1))
+
+        return (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
+                p_len, count, route, ridx, cap, cursor, ss_part, ev)
+
+    def body_E(*args):
+        cy = carry_of(args[:N_CARRY])
+        c_st = args[N_CARRY]
+        cn, gd = _consts(args[N_CARRY + 1:])
+        u_cells = arz.compute_u(cy["r"], cy["y"], u_max)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, lp), 0)
+        veh_m = ((rows < cy["count"]) & (cn["is_macro"] < 0.5) &
+                 (cn["lane_mask"] > 0)).astype(jnp.float32)
+        if diff:
+            stat_c = soft(static_speed - u_cells, c_st[0, 0])
+            stat_v = soft(static_speed - cy["vel"], c_st[0, 0])
+        else:
+            stat_c = (u_cells < static_speed).astype(jnp.float32)
+            stat_v = (cy["vel"] < static_speed).astype(jnp.float32)
+        q_macro = jnp.sum(stat_c * (cy["r"] * cn["cell_len"] / veh_len) *
+                          cn["cmask"], axis=0, keepdims=True)
+        q_micro = jnp.sum(stat_v * veh_m, axis=0, keepdims=True)
+        q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
+        return ((jnp.sum(q_lane * q_lane) * dt).reshape(1, 1),)
+
+    # ======================================================================
+    # assemble: dkernels + shard_map scan
+    # ======================================================================
+    def zf(*s):
+        return jnp.zeros(s, jnp.float32)
+
+    def zi(*s):
+        return jnp.zeros(s, jnp.int32)
+
+    ex_lc = ([jnp.asarray(v[0]) for v in (lc[k] for k in lc_names)] +
+             [G[k] for k in g_names])
+    ex_carry = (zf(Cp, lp), zf(Cp, lp), zf(Vp, lp), zf(Vp, lp), zf(Vp, lp),
+                zf(Vp, lp), zf(Vp, lp), zf(Vp, lp), zf(Vp, lp), zf(Vp, lp),
+                zf(Vp, lp), zi(1, lp), zi(Vp, R, lp), zi(Vp, lp),
+                zf(K, lp), zi(1, lp), zi(1, lp))
+    ex_A = ex_carry + (zf(1, lp), zf(1, lp)) + tuple(ex_lc)
+    kA = make_dkernel(body_A, ex_A, CARRY_DIFF, interpret=interpret,
+                      name="spatialA")
+    ex_B = ex_carry + (zf(9, Lgp), zf(NPp, NIp), zi(1, 1), zi(1, lp),
+                       zi(1, lp), zf(1, lp),
+                       zi(P_inj, R, lp)) + tuple(ex_lc)
+    diff_B = CARRY_DIFF + (N_CARRY, N_CARRY + 1)  # + gA, action2d
+    kB = make_dkernel(body_B, ex_B, diff_B, interpret=interpret,
+                      name="spatialB")
+    ex_C = ex_carry + (zf(1, lp),) * 10 + (zf(1, 1), zi(1, lp)) + \
+        tuple(ex_lc)
+    diff_C = CARRY_DIFF + tuple(range(N_CARRY, N_CARRY + 10)) + \
+        (N_CARRY + 10,)
+    kC = make_dkernel(body_C, ex_C, diff_C, interpret=interpret,
+                      name="spatialC")
+    ex_D = ex_carry + (zf(15, Lgp), zi(2, Lgp), zi(R, Lgp), zi(1, 1),
+                       zi(P_emit, R, lp)) + tuple(ex_lc)
+    diff_D = CARRY_DIFF + (N_CARRY,)  # + gF
+    kD = make_dkernel(body_D, ex_D, diff_D, interpret=interpret,
+                      name="spatialD")
+    ex_E = ex_carry + (zf(1, 1),) + tuple(ex_lc)
+    diff_E = CARRY_DIFF + (N_CARRY,)
+    kE = make_dkernel(body_E, ex_E, diff_E, interpret=interpret,
+                      name="spatialE")
+
+    def mean_of(part):  # part: [1,2] (sum, count) accumulated
+        return part[0, 0] / jnp.maximum(part[0, 1], 1.0)
+
+    def local_episode(lc_loc, inj_loc, pool_loc, action2d, sched, mnextx,
+                      mprevx, rand):
+        """Runs on one device inside shard_map; per-step inputs are the
+        local [T, 1, lp] blocks."""
+        lc_vals = tuple(lc_loc[k][0] for k in lc_names) + tuple(
+            G[k] for k in g_names)
+        inj_routes = inj_loc[0]
+        pool_routes = pool_loc[0]
+        off2d = (lax.axis_index(axis_name) * l_loc).reshape(1, 1)
+        inj_left0 = jnp.where(
+            (lc_loc["has_prev"][0] == 0) & (lc_loc["is_macro"][0] < 0.5) &
+            (lc_loc["lane_mask"][0] > 0), P_inj, 0).astype(jnp.int32)
+        carry0 = (zf(Cp, lp), zf(Cp, lp), zf(Vp, lp), zf(Vp, lp),
+                  zf(Vp, lp),
+                  jnp.full((Vp, lp), dflt["accel_max"]),
+                  jnp.full((Vp, lp), dflt["accel_pref"]),
+                  jnp.full((Vp, lp), dflt["target_speed"]),
+                  jnp.full((Vp, lp), dflt["min_space"]),
+                  jnp.full((Vp, lp), dflt["time_pref"]),
+                  jnp.full((Vp, lp), dflt["length"]),
+                  zi(1, lp), jnp.full((Vp, R, lp), -1, jnp.int32),
+                  zi(Vp, lp), zf(K, lp), inj_left0, zi(1, lp))
+
+        def step(carry, inputs):
+            comps, sg_ms, ss_ms = carry
+            t, sched_t, mnext_t, mprev_t, rand_t = inputs
+            t2d = t.reshape(1, 1).astype(jnp.int32)
+            (sumA,) = kA(*comps, rand_t, sched_t, *lc_vals)
+
+            def pad_cols(x, fill):
+                if Lgp == L:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((x.shape[0], Lgp - L), fill, x.dtype)],
+                    axis=1)
+
+            gA = pad_cols(lax.all_gather(sumA[:, :l_loc], axis_name, axis=1,
+                                         tiled=True), 0.0)
+            outB = kB(*comps, gA, action2d, t2d, mnext_t, mprev_t, sched_t,
+                      inj_routes, *lc_vals)
+            (pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
+             count, route, ridx, inj_left, bl_r, bl_u, gr_r, gr_u, sig,
+             pd_g, sd_g, red_pd, fsig, blend_f, n_inj, sg_part) = outB
+            comps = (comps[0], comps[1], pos, vel, av, p_amax, p_apref,
+                     p_vt, p_ms, p_tp, p_len, count, route, ridx,
+                     comps[14], inj_left, comps[16])
+            if diff:
+                sg_ms = sg_ms + lax.psum(sg_part, axis_name)
+                c_sig = (32.0 / jnp.maximum(jnp.abs(mean_of(sg_ms)),
+                                            1e-6)).reshape(1, 1)
+            else:
+                c_sig = jnp.ones((1, 1))
+            (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h) = kC(
+                *comps, bl_r, bl_u, gr_r, gr_u, sig, pd_g, sd_g, red_pd,
+                fsig, blend_f, c_sig, mnext_t, *lc_vals)
+            comps = (r, y, pos, vel) + comps[4:14] + (cap,) + comps[15:]
+            gF = pad_cols(lax.all_gather(sumF[:, :l_loc], axis_name,
+                                         axis=1, tiled=True), 0.0)
+            # int streams carry no cotangent; stop_gradient prunes the
+            # float0 transpose paths AD would otherwise trip over
+            gI = pad_cols(lax.all_gather(
+                lax.stop_gradient(sumI)[:, :l_loc], axis_name, axis=1,
+                tiled=True), -1)
+            gR = pad_cols(lax.all_gather(
+                lax.stop_gradient(route_h)[:, :l_loc], axis_name, axis=1,
+                tiled=True), -1)
+            outD = kD(*comps, gF, gI, gR, off2d, pool_routes, *lc_vals)
+            (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
+             count, route, ridx, cap, cursor, ss_part, ev) = outD
+            comps = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
+                     p_len, count, route, ridx, cap, comps[15], cursor)
+            ss_ms = ss_ms + lax.psum(ss_part, axis_name)
+            c_st = (16.0 / jnp.maximum(jnp.abs(mean_of(ss_ms)),
+                                       1e-6)).reshape(1, 1)
+            (queue_loc,) = kE(*comps, c_st, *lc_vals)
+            n_inj_g = lax.psum(jax.lax.stop_gradient(n_inj), axis_name)
+            mw = lax.pmax(lax.stop_gradient(max_wave[0, 0]), axis_name)
+            return ((comps, sg_ms, ss_ms),
+                    (queue_loc[0, 0], n_inj_g[0, 0], ev[0, 0], ev[0, 1],
+                     mw))
+
+        if config.get("remat", True):
+            step = jax.checkpoint(step)
+        (_, _, _), ys = lax.scan(
+            step, (carry0, jnp.zeros((1, 2)), jnp.zeros((1, 2))),
+            (jnp.arange(T), sched[:, 0], mnextx[:, 0], mprevx[:, 0],
+             rand[:, 0]))
+        queues_loc, n_injs, emits, absorbs, mws = ys
+        queues = lax.psum(queues_loc, axis_name)
+        return queues, n_injs, emits, absorbs, mws
+
+    # ---- host-side data prep + shard_map wrapper ---------------------------
+    def to_blocks(x, fill):
+        """[T, L] -> [T, n_shard, 1, lp] (shard axis explicit)."""
+        x = jnp.asarray(x)
+        out = jnp.full((T, n_shard, 1, lp), fill, x.dtype)
+        return out.at[:, :, 0, :l_loc].set(x.reshape(T, n_shard, l_loc))
+
+    lc_dev = {k: jnp.asarray(v) for k, v in lc.items()}
+    inj_dev = jnp.asarray(inj_l)
+    pool_dev = jnp.asarray(pool_l)
+    shard0 = P(axis_name)
+    blocks = P(None, axis_name)
+
+    sharded = jax.shard_map(
+        local_episode, mesh=mesh,
+        in_specs=({k: shard0 for k in lc_dev}, shard0, shard0, P(),
+                  blocks, blocks, blocks, blocks),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+
+    @jax.jit
+    def run(action_flat, key, sched, mnextx, mprevx):
+        action_p = jnp.zeros((NPp, NIp)).at[:n_phases, :n_inter].set(
+            jnp.asarray(action_flat).reshape(n_phases, n_inter))
+        rand = jax.random.uniform(key, (T, L))
+        queues, n_injs, emits, absorbs, mws = sharded(
+            lc_dev, inj_dev, pool_dev, action_p, to_blocks(sched, 0.0),
+            to_blocks(mnextx, -1), to_blocks(mprevx, -1),
+            to_blocks(rand, 2.0))
+        return EpisodeResult(
+            reward=-jnp.sum(queues), queue_per_step=queues,
+            emitted=jnp.sum(emits).astype(jnp.int32),
+            absorbed=jnp.sum(absorbs).astype(jnp.int32),
+            injected=jnp.sum(n_injs).astype(jnp.int32),
+            max_wave_speed=jnp.max(mws),
+            events_per_step=jnp.stack(
+                [n_injs, emits, absorbs], axis=1).astype(jnp.int32))
+
+    def episode(action_flat, key):
+        return run(action_flat, key, env.data.schedule,
+                   env.data.mroute_next, env.data.mroute_prev)
+
+    episode.geometry = dict(L=L, l_loc=l_loc, lp=lp, Lgp=Lgp, T=T, W=win,
+                            n_shard=n_shard)
+    return episode

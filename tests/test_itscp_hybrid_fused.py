@@ -276,3 +276,74 @@ def test_hybrid_fused_gradient_through_emission_events():
     assert cos > 0.999, cos
     np.testing.assert_allclose(g_fus, g_ref, rtol=2e-2,
                                atol=2e-3 * np.abs(g_ref).max())
+
+
+def test_packed_episodes_match_vmapped_singles():
+    """Episode packing (round-2): B scenarios run block-diagonally in ONE
+    kernel's lane axis; rewards/queues/action-gradients must match the
+    vmapped single-episode kernels. Tolerances are tight-but-not-exact by
+    design: the per-episode RMS/queue reductions run as lane->episode
+    one-hot matmuls whose accumulation order differs from the
+    single-episode kernel's jnp.sum over a differently-padded lane axis.
+    The horizon is long enough that emission/deposit events fire (the
+    packed event counters are pack totals)."""
+    cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=16,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid",
+               use_fused_episode=True)
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset_batch(2, seed=5)
+    B = 2
+    actions = jnp.stack([jnp.full((env.action_size(),), 0.45),
+                         jnp.full((env.action_size(),), 0.62)])
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    res_v = env.episode_batch(actions, True, keys)
+    run = env.packed_episode_fn()
+    res_p = jax.jit(run)(actions, keys)
+
+    rv, rp = np.asarray(res_v.reward), np.asarray(res_p.reward)
+    np.testing.assert_allclose(rp, rv, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_p.queue_per_step),
+                               np.asarray(res_v.queue_per_step), atol=1e-5)
+    # the scene actually exercises events, and pack totals match
+    assert int(np.asarray(res_v.emitted).sum()) > 0
+    assert int(res_p.emitted) == int(np.asarray(res_v.emitted).sum())
+    assert int(res_p.injected) == int(np.asarray(res_v.injected).sum())
+    assert int(res_p.absorbed) == int(np.asarray(res_v.absorbed).sum())
+
+    one = env._fused_episode_one()
+    gv = jax.jit(jax.grad(lambda a: jnp.sum(jax.vmap(
+        lambda aa, d, k: one(aa, d, k).reward)(
+            a, env.batch_data, keys))))(actions)
+    gp = jax.jit(jax.grad(lambda a: jnp.sum(run(a, keys).reward)))(actions)
+    gv, gp = np.asarray(gv), np.asarray(gp)
+    cos = np.sum(gv * gp) / (np.linalg.norm(gv) * np.linalg.norm(gp))
+    assert cos > 0.99999, cos
+    assert np.max(np.abs(gv - gp)) / np.max(np.abs(gv)) < 1e-4
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu PRNG has no CPU/interpret lowering")
+def test_inkernel_prng_injection_distribution():
+    """On-chip injection PRNG (use_inkernel_prng): different draw ORDER
+    than the pre-drawn jax.random stream, so parity is in-distribution —
+    per-episode injection counts must land in the same range (measured on
+    TPU r2: pre-drawn 26-35, in-kernel 28-34 over 8 seeds on this scene)."""
+    base = dict(num_intersection=1, num_lane=2, lane_length=20.0,
+                speed_limit=30.0, cell_length=5.0, policy_length=10,
+                signal_length=2, simulation_frequency=30, random_seed=3,
+                mode="micro", max_num_micro_vehicle_per_lane=6,
+                use_fused_episode=True)
+    counts = {}
+    for tag, cfg in (("pre", dict(base)),
+                     ("ik", dict(base, use_inkernel_prng=True))):
+        env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+        env.reset()
+        a = jnp.full((env.action_size(),), 0.5)
+        counts[tag] = [int(env.episode(a, True, jax.random.PRNGKey(i)
+                                       ).injected) for i in range(8)]
+    mean = lambda xs: sum(xs) / len(xs)
+    assert abs(mean(counts["ik"]) - mean(counts["pre"])) <= 5, counts
+    assert max(counts["ik"]) < 48, counts  # pool must not drain every time

@@ -1,0 +1,94 @@
+"""Sharded-FUSED episode (per-shard Pallas step kernels) parity.
+
+The round-2 composition of the two round-1 performance pillars
+(:mod:`dhts.ops.pallas.itscp_spatial_step`): the scene's lane axis sharded
+over a mesh with each device running its local step share as Pallas
+kernels between the round-1 summary all_gathers. Compared here against the
+unsharded scan env (the parity root that itself matches the PyTorch
+reference): rewards / per-step queues / event counts / action gradients,
+on 1, 4 and 8 lane shards. Tolerances are tight-but-not-bit-exact
+(reductions run over differently padded axes than the scan path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from dhts.apps.control.itscp.env import ItscpEnv
+from dhts.apps.control.itscp.problem import problem_1
+from dhts.ops.pallas.itscp_spatial_step import make_fused_spatial_episode
+
+MICRO_CFG = dict(num_intersection=1, num_lane=2, lane_length=20.0,
+                 speed_limit=20.0, cell_length=5.0, policy_length=4,
+                 signal_length=2, simulation_frequency=10, random_seed=3,
+                 max_num_micro_vehicle_per_lane=4, mode="micro")
+HYBRID_CFG = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+                  speed_limit=20.0, cell_length=5.0, policy_length=16,
+                  signal_length=2, simulation_frequency=10, random_seed=3,
+                  max_num_micro_vehicle_per_lane=4, mode="hybrid")
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("lane",))
+
+
+def _check(env, n_shard, differentiable, grad=False):
+    action = jnp.full((env.action_size(),), 0.45)
+    key = jax.random.PRNGKey(0)
+    ep = make_fused_spatial_episode(env, _mesh(n_shard),
+                                    differentiable=differentiable)
+    res = ep(action, key)
+    ref = env.episode(action, differentiable, key)
+    np.testing.assert_allclose(float(res.reward), float(ref.reward),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.queue_per_step),
+                               np.asarray(ref.queue_per_step),
+                               rtol=1e-4, atol=1e-6)
+    assert int(res.injected) == int(ref.injected)
+    assert int(res.emitted) == int(ref.emitted)
+    assert int(res.absorbed) == int(ref.absorbed)
+    if grad:
+        g1 = np.asarray(jax.grad(lambda a: ep(a, key).reward)(action))
+        g2 = np.asarray(jax.grad(
+            lambda a: env.episode(a, True, key).reward)(action))
+        cos = np.sum(g1 * g2) / (np.linalg.norm(g1) * np.linalg.norm(g2) +
+                                 1e-30)
+        assert cos > 0.99999, (cos, g1, g2)
+        assert np.isfinite(g1).all()
+    return res
+
+
+@pytest.fixture(scope="module")
+def micro_env():
+    env = ItscpEnv(config=MICRO_CFG, schedule_fn=problem_1)
+    env.reset()
+    return env
+
+
+@pytest.fixture(scope="module")
+def hybrid_env():
+    env = ItscpEnv(config=HYBRID_CFG, schedule_fn=problem_1)
+    env.reset()
+    return env
+
+
+def test_micro_hard_modes(micro_env):
+    for n in (1, 4):
+        _check(micro_env, n, differentiable=False)
+
+
+def test_micro_soft_and_grad(micro_env):
+    _check(micro_env, 4, differentiable=True, grad=True)
+
+
+def test_micro_grad_eight_shards(micro_env):
+    # 28 lanes do not divide by 8 -> nearest divisor 7
+    _check(micro_env, 7, differentiable=True, grad=True)
+
+
+def test_hybrid_events_and_grad(hybrid_env):
+    """3x3 hybrid scene with real emission/deposit events, 4 shards."""
+    res = _check(hybrid_env, 4, differentiable=True, grad=True)
+    assert int(res.emitted) > 0  # the scene exercises conversion
