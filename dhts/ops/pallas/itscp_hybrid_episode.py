@@ -296,7 +296,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     # =====================================================================
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
-             inj_routes, emit_routes, cn, early_exit: bool = False):
+             inj_routes, emit_routes, cn, early_exit: bool = False,
+             walk_saved=None, walk_saved_f=None):
         (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
          count, route, ridx, cap, inj_left, cursor, ss_tot, ss_cnt, sg_tot,
          sg_cnt) = carry
@@ -427,7 +428,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
                  jnp.full((1, Lp), -1, jnp.int32), jnp.zeros((1, Lp)), base)
-        if early_exit:
+        if walk_saved is not None:
+            # backward replay: the walk's terminating state was saved as a
+            # per-step residual by the forward (it is deterministic and
+            # carries no gradient), so the W-hop loop is skipped entirely
+            found = walk_saved[0:1] > 0
+            wstar = walk_saved[1:2]
+            cdel_st = walk_saved_f
+        elif early_exit:
             # Forward kernels only: hop until EVERY lane's walk terminated
             # (on ITSCP grids that is typically 1-3 hops, while the static
             # bound W hits the R-1 cap at 5x5+). Values are identical to
@@ -765,7 +773,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
                         f32sum(dep_win), f32sum(remove),
                         jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
-        return carry, queue, ev
+        walk_i = jnp.concatenate([found.astype(jnp.int32), wstar], axis=0)
+        return carry, queue, ev, (walk_i, cdel_st)
 
     # =====================================================================
     # Carry layout for grid streaming. Order matches the ``step`` carry
@@ -872,7 +881,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
             ntr = NT if save_traj else 0
             traj_refs = rest[3: 3 + ntr]
-            scratch = rest[3 + ntr:]
+            rest_walk = rest[3 + ntr: 3 + ntr + (2 if save_traj else 0)]
+            scratch = rest[3 + ntr + (2 if save_traj else 0):]
             t = pl.program_id(0)
 
             @pl.when(t == 0)
@@ -887,13 +897,20 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                     tref[:] = val[None]
             rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
                         else rand_ref[0])
-            new_carry, queue, ev = step(unpack(comps), t, action_ref[:],
-                                        sched_ref[0], mnext_ref[0],
-                                        mprev_ref[0], rand_row,
-                                        inj_ref[:], pool_ref[:], cn,
-                                        early_exit=W >= 8)
+            new_carry, queue, ev, walk = step(unpack(comps), t,
+                                              action_ref[:],
+                                              sched_ref[0], mnext_ref[0],
+                                              mprev_ref[0], rand_row,
+                                              inj_ref[:], pool_ref[:], cn,
+                                              early_exit=W >= 8)
             for ref, val in zip(scratch, pack(new_carry)):
                 ref[:] = val
+            if save_traj:
+                # walk residuals: the backward skips the W-hop loop by
+                # replaying the saved terminating state (2 KB/step)
+                walk_i_ref, walk_f_ref = rest_walk
+                walk_i_ref[:] = walk[0][None]
+                walk_f_ref[:] = walk[1][None]
             queues_ref[:] = queue.reshape(1, 1, QW)
             events_ref[:] = ev[None]
             qsum_ref[:] = qsum_ref[:] + queue
@@ -910,6 +927,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             for _, shp, dt_ in TRAJ:
                 out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
                 out_specs.append(t_spec(shp))
+            out_shape.append(jax.ShapeDtypeStruct((T, 2, Lp), jnp.int32))
+            out_specs.append(t_spec((2, Lp)))
+            out_shape.append(jax.ShapeDtypeStruct((T, 1, Lp), jnp.float32))
+            out_specs.append(t_spec((1, Lp)))
         seed_spec = [full_spec((1, 1))] if inkernel_prng else []
         seed_arg = (seed_p,) if inkernel_prng else ()
         return pl.pallas_call(
@@ -935,6 +956,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rest = rest[n_const:]
         traj_refs = rest[:NT]
         rest = rest[NT:]
+        walk_i_ref, walk_f_ref = rest[0], rest[1]
+        rest = rest[2:]
         if inkernel_prng:
             seed_ref = rest[0]
             rest = rest[1:]
@@ -944,6 +967,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         t = T - 1 - i
         rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
                     else rand_ref[0])
+        walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
 
         @pl.when(i == 0)
         def _init():
@@ -961,10 +985,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             full = list(comps)
             for j, v in zip(FDIFF, floats):
                 full[j] = v
-            new_carry, queue, _ = step(unpack(full), t, action2d,
-                                       sched_ref[0], mnext_ref[0],
-                                       mprev_ref[0], rand_row,
-                                       inj_ref[:], pool_ref[:], cn)
+            new_carry, queue, _, _ = step(unpack(full), t, action2d,
+                                          sched_ref[0], mnext_ref[0],
+                                          mprev_ref[0], rand_row,
+                                          inj_ref[:], pool_ref[:], cn,
+                                          walk_saved=walk_i,
+                                          walk_saved_f=walk_f)
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -986,7 +1012,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         g_action_ref[:] = g_action_ref[:] + d_action
 
     def run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                     pool_p, seed_p, traj, g_qsum, g_queues):
+                     pool_p, seed_p, traj, walk_i, walk_f, g_qsum,
+                     g_queues):
         seed_spec = [full_spec((1, 1))] if inkernel_prng else []
         seed_arg = (seed_p,) if inkernel_prng else ()
         return pl.pallas_call(
@@ -997,7 +1024,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                       full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
                       full_spec((1, QW)), rev_spec((1, QW))] +
                      [full_spec(consts[k].shape) for k in const_names] +
-                     [rev_spec(shp) for _, shp, _ in TRAJ] + seed_spec,
+                     [rev_spec(shp) for _, shp, _ in TRAJ] +
+                     [rev_spec((2, Lp)), rev_spec((1, Lp))] + seed_spec,
             out_specs=full_spec((NPp, NIp)),
             out_shape=jax.ShapeDtypeStruct((NPp, NIp), jnp.float32),
             scratch_shapes=[pltpu.VMEM(TRAJ[j][1], TRAJ[j][2])
@@ -1006,7 +1034,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
           g_qsum, g_queues, *(consts[k] for k in const_names), *traj,
-          *seed_arg)
+          walk_i, walk_f, *seed_arg)
 
     # ---- custom-VJP episode over padded arrays -----------------------------
     def _outs(qsum, queues, events):
@@ -1036,8 +1064,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         (action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
          seed_p, traj) = res
         g_qsum, g_queues, _ = cots  # event counts carry no gradient
+        traj, walk_i, walk_f = traj[:NT], traj[NT], traj[NT + 1]
         ga = run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                          pool_p, seed_p, traj, jnp.reshape(g_qsum, (1, QW)),
+                          pool_p, seed_p, traj, walk_i, walk_f,
+                          jnp.reshape(g_qsum, (1, QW)),
                           jnp.reshape(g_queues, (T, 1, QW)))
         return ga, None, None, None, None, None, None, None
 
@@ -1124,8 +1154,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 jnp.zeros((P_emit, R, Lp), jnp.int32))
 
         def fwd1(comps, t, action2d, sched, mnext, mprev, rand, inj, pool):
-            new, queue, ev = step(unpack(list(comps)), t, action2d, sched,
-                                  mnext, mprev, rand, inj, pool, cnj)
+            new, queue, ev, _ = step(unpack(list(comps)), t, action2d,
+                                     sched, mnext, mprev, rand, inj, pool,
+                                     cnj)
             return pack(new), queue, ev
 
         def bwd1(floats, action2d, t, sched, mnext, mprev, rand, inj, pool):
@@ -1133,8 +1164,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 full = list(carry)
                 for j, v in zip(FDIFF, fl):
                     full[j] = v
-                new, queue, _ = step(unpack(full), t, a, sched, mnext,
-                                     mprev, rand, inj, pool, cnj)
+                new, queue, _, _ = step(unpack(full), t, a, sched, mnext,
+                                        mprev, rand, inj, pool, cnj)
                 out = pack(new)
                 return tuple(out[j] for j in FDIFF), queue
             _, vjp = jax.vjp(f, floats, action2d)
