@@ -57,12 +57,30 @@ BASE_CFG = dict(num_intersection=1, num_lane=2, lane_length=20.0,
                 simulation_frequency=10, policy_length=8, signal_length=2,
                 duration=1, static_speed=0.2, num_schedule_obs=10,
                 max_num_micro_vehicle_per_lane=4, random_seed=7)
-T = BASE_CFG["policy_length"] * BASE_CFG["simulation_frequency"]
-# n_phases=4, one intersection. 0.65 deliberately ties the phase-progress
-# grid point 13/20: the hard action-vs-progress gate at that step is
-# decided 1 ulp either way, which caught an in-jit reciprocal-multiply
-# division divergence in round 2 (see env.signal_progress_table).
-ACTION = np.array([0.2, 0.8, 0.35, 0.65], np.float32)
+# hybrid: the reference flagship geometry (3x3 grid, 5 m lanes, border
+# macro / interior micro) with a horizon long enough for the flux
+# capacitor to fill -> macro->micro EMISSION and micro->macro DEPOSIT
+# events fire inside the parity window
+HYBRID_CFG = dict(BASE_CFG, num_intersection=3, num_lane=1,
+                  lane_length=5.0, policy_length=16)
+CFG_BY_MODE = {"macro": BASE_CFG, "micro": BASE_CFG, "hybrid": HYBRID_CFG}
+
+
+def _horizon(mode):
+    c = CFG_BY_MODE[mode]
+    return c["policy_length"] * c["simulation_frequency"]
+
+
+def _action(mode):
+    """Deterministic action vector; for the 1x1 modes the value 0.65
+    deliberately ties the phase-progress grid point 13/20 — the hard
+    action-vs-progress gate at that step is decided 1 ulp either way,
+    which caught an in-jit reciprocal-multiply division divergence in
+    round 2 (see env.signal_progress_table)."""
+    if mode != "hybrid":
+        return np.array([0.2, 0.8, 0.35, 0.65], np.float32)
+    n = 8 * 9  # n_phases * n_inter
+    return (0.2 + 0.6 * ((np.arange(n) * 7) % 10) / 9.0).astype(np.float32)
 
 
 def _sched_val_macro(t, lane_index):
@@ -77,7 +95,8 @@ def _sched_val_micro(t, lane_index):
     return 1.0
 
 
-SCHED = {"macro": _sched_val_macro, "micro": _sched_val_micro}
+SCHED = {"macro": _sched_val_macro, "micro": _sched_val_micro,
+         "hybrid": _sched_val_macro}
 
 
 def _det_macro_route(next_map, is_macro, L, t):
@@ -129,7 +148,7 @@ def _make_ref_env(mode):
                 for i, lid in enumerate(lane_ids)}
 
     env = ref_env_mod.ItscpEnv(schedule_callback=sched_cb)
-    env.config.update(BASE_CFG)
+    env.config.update(CFG_BY_MODE[mode])
     env.config["mode"] = mode
     env.config["render"] = False
     env.render_eval = False
@@ -142,7 +161,7 @@ def _make_ref_env(mode):
                 for i in range(L)}
     is_macro = [env.simulator.lane[i].is_macro() for i in range(L)]
     env.macro_route_schedule.clear()
-    for t in range(T):
+    for t in range(_horizon(mode)):
         nxt, prv = _det_macro_route(next_map, is_macro, L, t)
         mr = MacroRoute()
         mr.next_lane_dict = {i: int(nxt[i]) for i in range(L) if nxt[i] >= 0}
@@ -162,19 +181,36 @@ def _make_ref_env(mode):
                     env.config["speed_limit"]) for _ in range(P)][::-1]
             env.simulator.lane_waiting_micro_route[lid] = [
                 MicroRoute(list(r)) for r in routes][::-1]
+
+    if mode == "hybrid":
+        # macro->micro EMISSION draws its route AT EVENT TIME
+        # (conversion.py:72 create_random_route); determinize it with a
+        # per-destination-lane counter so dhts's pre-drawn route pool
+        # (cursor % P) sees the identical sequence
+        counters = {}
+
+        def det_create_random_route(lane_id):
+            pidx = counters.get(lane_id, 0)
+            counters[lane_id] = pidx + 1
+            return MicroRoute(
+                _det_vehicle_route(next_map, lane_id, pidx, 32))
+
+        env.simulator.create_random_route = det_create_random_route
     return env, obs
 
 
-def _run_ref(env, differentiable):
+def _run_ref(env, mode, differentiable):
     """Step the reference env T times, recording state/signal/queue."""
     import torch as th
 
+    T = env.num_timestep
     sim = env.simulator
     L = len(sim.lane)
     C = max((l.num_cell for l in sim.lane.values() if l.is_macro()),
             default=1)
     Vmax = 16
-    action = th.tensor(ACTION) if differentiable else ACTION
+    act_np = _action(mode)
+    action = th.tensor(act_np) if differentiable else act_np
     env.time = 0
     env.queue_length.clear()
     env.flux.clear()
@@ -222,14 +258,14 @@ def _make_dhts_env(mode):
         return np.array([[sched_val(t, l) for l in range(Ll)]
                          for t in range(num_timestep)], np.float32)
 
-    env = denv.ItscpEnv(config=dict(BASE_CFG, mode=mode),
+    env = denv.ItscpEnv(config=dict(CFG_BY_MODE[mode], mode=mode),
                         schedule_fn=sched_fn)
     obs = env.reset()
     L = env.spec.num_lanes
     is_macro = np.asarray(env.spec.is_macro)
     next_map = env.grid.builder._next
     nxts, prvs = [], []
-    for t in range(T):
+    for t in range(_horizon(mode)):
         n, p = _det_macro_route(next_map, is_macro, L, t)
         nxts.append(n)
         prvs.append(p)
@@ -245,14 +281,26 @@ def _make_dhts_env(mode):
                 rt = _det_vehicle_route(next_map, lid, p, 32)[:R]
                 inj[lid, p, :len(rt)] = rt
         data = data._replace(inj_routes=jnp.asarray(inj))
+    if mode == "hybrid":
+        # pre-draw the EMISSION route pool with the same deterministic
+        # (lane, ordinal) routes the reference monkeypatch produces
+        P2 = env.base_state.route_pool.shape[1]
+        R = env.grid.builder.R
+        pool = np.full((L, P2, R), -1, np.int32)
+        for lid in range(L):
+            for pidx in range(P2):
+                rt = _det_vehicle_route(next_map, lid, pidx, 32)[:R]
+                pool[lid, pidx, :len(rt)] = rt
+        env.base_state = env.base_state._replace(
+            route_pool=jnp.asarray(pool))
     env.data = data
     return env, obs
 
 
-def _run_dhts(env, differentiable):
+def _run_dhts(env, mode, differentiable):
     fn = jax.jit(denv._make_episode_fn(env.spec, env.meta, env.config,
                                        differentiable, record=True))
-    res, rec = fn(jnp.asarray(ACTION), env.data, env.base_state,
+    res, rec = fn(jnp.asarray(_action(mode)), env.data, env.base_state,
                   jax.random.PRNGKey(0))
     rs, pos, cnt, sigs = (np.asarray(x) for x in rec)
     return res, dict(r=rs, pos=pos, cnt=cnt, sig=sigs)
@@ -274,7 +322,8 @@ def _compare_micro_positions(mine, ref, atol):
 
 # -- the tests ----------------------------------------------------------------
 
-@pytest.fixture(scope="module", params=["macro", "micro"])
+@pytest.fixture(scope="module",
+                params=["macro", "micro", "hybrid"])
 def mode(request):
     return request.param
 
@@ -310,16 +359,19 @@ def test_observation_parity(envs):
 def test_hard_mode_parity(envs, mode):
     """Hard (non-differentiable) episode: exact branch logic both sides."""
     ref, _, mine, _ = envs
-    r = _run_ref(ref, False)
-    res, m = _run_dhts(mine, False)
+    r = _run_ref(ref, mode, False)
+    res, m = _run_dhts(mine, mode, False)
 
     np.testing.assert_allclose(m["sig"], r["sig"], atol=1e-6,
                                err_msg="per-step stored lane signals")
-    if mode == "macro":
+    if mode in ("macro", "hybrid"):
         np.testing.assert_allclose(m["r"], r["r"], atol=1e-4,
                                    err_msg="per-step macro densities")
-    else:
+    if mode in ("micro", "hybrid"):
         _compare_micro_positions(m, r, atol=1e-4)
+    if mode == "hybrid":
+        # the scenario must actually fire conversion events
+        assert int(res.emitted) > 0, "no emissions: scenario too short"
     np.testing.assert_allclose(np.asarray(res.queue_per_step),
                                r["queue"].sum(axis=1), rtol=1e-4, atol=1e-6,
                                err_msg="per-step summed squared queue")
@@ -336,15 +388,15 @@ def test_soft_mode_parity(mode):
     tolerance; the RMS-free signals stay tight."""
     ref, _ = _make_ref_env(mode)
     mine, _ = _make_dhts_env(mode)
-    r = _run_ref(ref, True)
-    res, m = _run_dhts(mine, True)
+    r = _run_ref(ref, mode, True)
+    res, m = _run_dhts(mine, mode, True)
 
     np.testing.assert_allclose(m["sig"], r["sig"], atol=1e-5,
                                err_msg="per-step soft lane signals")
-    if mode == "macro":
-        np.testing.assert_allclose(m["r"], r["r"], atol=5e-4,
+    if mode in ("macro", "hybrid"):
+        np.testing.assert_allclose(m["r"], r["r"], atol=2e-3,
                                    err_msg="per-step macro densities (soft)")
-    else:
+    if mode in ("micro", "hybrid"):
         # positions feel the signal-RMS constant through the soft
         # head-delta blend; measured drift stays ~1e-3 m over 80 steps
         _compare_micro_positions(m, r, atol=5e-3)
