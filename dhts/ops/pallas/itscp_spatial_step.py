@@ -915,3 +915,38 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
     episode.geometry = dict(L=L, l_loc=l_loc, lp=lp, Lgp=Lgp, T=T, W=win,
                             n_shard=n_shard)
     return episode
+
+
+def make_fused_spatial_train_step(env, model, optimizer, mesh: Mesh, obs,
+                                  low, high, axis_name: str = "lane"):
+    """Controller training step over the sharded-FUSED episode: the scene
+    sharded over ``axis_name``, an episode batch vmapped on top (the batch
+    lifts into the step kernels' grid), replicated controller params, one
+    jitted loss/grad/Adam update. The per-episode loss matches
+    ``-env.episode(squash(model(obs)), True, key).reward`` to the module's
+    parity tolerance.
+
+    Returns ``fn(params, opt_state, keys[B]) -> (params, opt_state,
+    loss)``. Single-mesh-axis composition (the 2-D ``(data, lane)``
+    variant remains the scan-based
+    :func:`dhts.apps.control.itscp.spatial.make_spatial_train_step`)."""
+    import optax
+
+    from dhts.apps.control.controller import squash_action
+
+    ep = make_fused_spatial_episode(env, mesh, differentiable=True,
+                                    axis_name=axis_name)
+    obs = jnp.asarray(obs)
+
+    def loss_fn(params, keys):
+        raw = model.apply(params, obs)
+        action = squash_action(raw, low, high)
+        return -jnp.mean(jax.vmap(lambda k: ep(action, k).reward)(keys))
+
+    @jax.jit
+    def train_step(params, opt_state, keys):
+        loss, grads = jax.value_and_grad(loss_fn)(params, keys)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step
