@@ -61,6 +61,17 @@ def main():
     print(f"sharded reward {float(res.reward):.6f} "
           f"(unsharded {float(ref.reward):.6f})")
 
+    # the same episode through the sharded-FUSED path: per-shard Pallas
+    # step kernels between the summary all_gathers (11x the sharded-scan
+    # per-step cost on a real TPU; interpret-mode Pallas here on CPU)
+    from dhts.ops.pallas.itscp_spatial_step import make_fused_spatial_episode
+    from dhts.parallel.mesh import make_mesh as _mm
+    lane_mesh = _mm({"lane": 4})
+    fused = make_fused_spatial_episode(env, lane_mesh, differentiable=True)
+    resf = fused(action, jax.random.PRNGKey(0))
+    print(f"sharded-FUSED reward {float(resf.reward):.6f} "
+          f"(scan-sharded {float(res.reward):.6f})")
+
     # two training epochs through the 2-D (data, lane) train step
     tr = Trainer(env, network_size=(16, 16), lr=1e-2, seed=0, mesh=mesh)
     hist = tr.train(num_episode_per_epoch=2, num_epoch=2, num_eval_epoch=1,
