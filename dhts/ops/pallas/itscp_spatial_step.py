@@ -914,6 +914,14 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
 
     episode.geometry = dict(L=L, l_loc=l_loc, lp=lp, Lgp=Lgp, T=T, W=win,
                             n_shard=n_shard)
+    from types import SimpleNamespace
+
+    # internals for the 2-D (data, lane) train-step composition
+    episode._parts = SimpleNamespace(
+        local_episode=local_episode, lc_dev=lc_dev, inj_dev=inj_dev,
+        pool_dev=pool_dev, to_blocks=to_blocks, L=L, T=T, lp=lp,
+        l_loc=l_loc, n_phases=n_phases, n_inter=n_inter, NPp=NPp, NIp=NIp,
+        axis_name=axis_name)
     return episode
 
 
@@ -946,6 +954,78 @@ def make_fused_spatial_train_step(env, model, optimizer, mesh: Mesh, obs,
     @jax.jit
     def train_step(params, opt_state, keys):
         loss, grads = jax.value_and_grad(loss_fn)(params, keys)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step
+
+
+def make_fused_spatial_train_step_2d(env, model, optimizer, mesh: Mesh,
+                                     obs, low, high,
+                                     axis_data: str = "data",
+                                     axis_lane: str = "lane"):
+    """The FULL production composition on a 2-D ``(data, lane)`` mesh with
+    the per-shard kernel episode: the episode batch sharded over
+    ``axis_data``, every episode's SCENE sharded over ``axis_lane``,
+    replicated controller, one psum'd loss/gradient — the fused
+    counterpart of
+    :func:`dhts.apps.control.itscp.spatial.make_spatial_train_step`.
+
+    One ``shard_map`` over both axes: each (data, lane) device cell runs
+    its local keys' episodes (vmapped — the batch lifts into the kernels'
+    grid) with collectives over ``axis_lane`` only, then the loss means
+    over ``axis_data`` and pmeans over ``axis_lane`` (identity forward,
+    gradient-scaling transpose, like the scan version).
+
+    Returns ``fn(params, opt_state, keys[B]) -> (params, opt_state,
+    loss)``; B must divide the data-axis size."""
+    import optax
+
+    from dhts.apps.control.controller import squash_action
+
+    assert axis_data in mesh.axis_names and axis_lane in mesh.axis_names
+    ep = make_fused_spatial_episode(env, mesh, differentiable=True,
+                                    axis_name=axis_lane)
+    p = ep._parts
+    obs = jnp.asarray(obs)
+    sched_b = p.to_blocks(env.data.schedule, 0.0)
+    mnext_b = p.to_blocks(env.data.mroute_next, -1)
+    mprev_b = p.to_blocks(env.data.mroute_prev, -1)
+
+    def local_loss(lc_loc, inj_loc, pool_loc, sched, mn, mp, params,
+                   keys_local):
+        raw = model.apply(params, obs)
+        action = squash_action(raw, low, high)
+        action_p = jnp.zeros((p.NPp, p.NIp)).at[
+            :p.n_phases, :p.n_inter].set(
+                action.reshape(p.n_phases, p.n_inter))
+        off = lax.axis_index(axis_lane) * p.l_loc
+
+        def ep_loss(key):
+            # the same global draw as the unsharded episode, local columns
+            rand = jax.random.uniform(key, (p.T, p.L))
+            rand_l = jnp.full((p.T, 1, p.lp), 2.0).at[:, 0, :p.l_loc].set(
+                lax.dynamic_slice_in_dim(rand, off, p.l_loc, 1))
+            queues, *_ = p.local_episode(lc_loc, inj_loc, pool_loc,
+                                         action_p, sched, mn, mp, rand_l)
+            return jnp.sum(queues)  # loss = -reward
+
+        loss_loc = jnp.mean(jax.vmap(ep_loss)(keys_local))
+        return lax.pmean(lax.pmean(loss_loc, axis_data), axis_lane)
+
+    shard_l = P(axis_lane)
+    blocks = P(None, axis_lane)
+    loss_fn = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=({k: shard_l for k in p.lc_dev}, shard_l, shard_l,
+                  blocks, blocks, blocks, P(), P(axis_data)),
+        out_specs=P(), check_vma=False)
+
+    @jax.jit
+    def train_step(params, opt_state, keys):
+        loss, grads = jax.value_and_grad(
+            lambda q: loss_fn(p.lc_dev, p.inj_dev, p.pool_dev, sched_b,
+                              mnext_b, mprev_b, q, keys))(params)
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 

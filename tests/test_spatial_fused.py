@@ -121,3 +121,38 @@ def test_fused_spatial_train_step(micro_env):
         jax.tree.map(lambda a, b: float(jnp.sum(jnp.abs(a - b))), params,
                      p2))
     assert moved > 0.0  # nonzero gradients flowed through the kernels
+
+
+def test_fused_spatial_train_step_2d(micro_env):
+    """The 2-D (data, lane) fused composition: one shard_map over both
+    axes, episode batch over data x sharded scene over lane. Loss must
+    match the single-axis fused train step's loss on the same keys."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from dhts.apps.control.controller import Controller
+    from dhts.ops.pallas.itscp_spatial_step import (
+        make_fused_spatial_train_step, make_fused_spatial_train_step_2d)
+
+    env = micro_env
+    obs = jnp.asarray(env.observe())
+    low, high = env.action_bounds()
+    model = Controller(output_size=env.action_size(), network_size=(8, 8))
+    params = model.init(jax.random.PRNGKey(0), obs)
+    opt = optax.adam(1e-2)
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "lane"))
+    step2d = make_fused_spatial_train_step_2d(env, model, opt, mesh2, obs,
+                                              low, high)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    keys_sharded = jax.device_put(
+        keys, NamedSharding(mesh2, PartitionSpec("data")))
+    p2, _, l2d = step2d(params, opt.init(params), keys_sharded)
+    assert np.isfinite(float(l2d))
+
+    # reference: single-axis fused step (episodes vmapped, lane sharded)
+    step1 = make_fused_spatial_train_step(env, model, opt,
+                                          _mesh(4), obs, low, high)
+    _, _, l1 = step1(params, opt.init(params), keys)
+    np.testing.assert_allclose(float(l2d), float(l1), rtol=1e-5)
