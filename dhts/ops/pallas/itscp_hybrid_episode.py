@@ -851,7 +851,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             lambda i: (T - 1 - i,) + (0,) * len(shape))
 
     seq_params = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
-                                      vmem_limit_bytes=100 * 1024 * 1024)
+                                      # 9x9 (Lp=1408) backward needs ~116MB
+                                      # scoped vmem; v5e has 128MB total
+                                      vmem_limit_bytes=127 * 1024 * 1024)
     QW = Bp if packed else 1  # width of the queue/reward outputs
 
     # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
