@@ -71,7 +71,11 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                                axis_name: str = "lane",
                                interpret: bool | None = None):
     """Build ``episode(action_flat, key) -> EpisodeResult`` running the
-    fused per-shard step kernels under ``shard_map``."""
+    fused per-shard step kernels under ``shard_map``.
+
+    Starts from the EMPTY network state (the ITSCP initial condition,
+    like the whole-episode kernel); ``env.base_state`` supplies shapes and
+    the emission route pool, not initial vehicles."""
     from dhts.apps.control.itscp.env import EpisodeResult
 
     spec, meta, config = env.spec, env.meta, dict(env.config)
