@@ -47,6 +47,10 @@ def main(argv=None):
                         "D devices, each episode's SCENE over L devices "
                         "(for grids too large for one chip); lanes must "
                         "divide L")
+    p.add_argument("--mesh_fused", action="store_true",
+                   help="with --mesh: run each shard's step as fused "
+                        "Pallas kernels between the summary collectives "
+                        "(11x the sharded-scan per-step cost on TPU)")
     args = p.parse_args(argv)
 
     env = ItscpEnv(config=dict(
@@ -70,7 +74,7 @@ def main(argv=None):
     for trial in range(args.n_trial):
         env.reset(seed=args.seed + trial if args.seed > 0 else None)
         trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
-                          mesh=mesh)
+                          mesh=mesh, mesh_fused=args.mesh_fused)
         log_path = os.path.join(run_name, f"trial_{trial}")
         # reference: 1 episode per epoch; in mesh mode, one episode per
         # data shard per epoch (the batch rides the data axis)

@@ -36,7 +36,8 @@ from dhts.apps.control.controller import Controller, squash_action
 class Trainer:
 
     def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
-                 render_eval=False, multi_scenario=False, mesh=None):
+                 render_eval=False, multi_scenario=False, mesh=None,
+                 mesh_fused=False):
         """``multi_scenario``: train the controller against the env's whole
         scenario batch (``env.reset_batch`` must have been called) — every
         scenario's episode, per-scenario observation and action, runs inside
@@ -73,13 +74,26 @@ class Trainer:
         if mesh is not None:
             assert "data" in mesh.axis_names and "lane" in mesh.axis_names, \
                 f"mesh axes {mesh.axis_names} must be ('data', 'lane')"
-            from dhts.apps.control.itscp import spatial as itscp_spatial
+            if mesh_fused:
+                # per-shard Pallas step kernels between the summary
+                # collectives (round 2) instead of the sharded scan step
+                from dhts.ops.pallas.itscp_spatial_step import (
+                    make_fused_spatial_episode,
+                    make_fused_spatial_train_step_2d)
 
-            self._train_step = itscp_spatial.make_spatial_train_step(
-                env, self.model, self.opt, mesh, self.obs, self.low,
-                self.high)
-            ep_hard = itscp_spatial.make_spatial_episode(
-                env, mesh, differentiable=False)
+                self._train_step = make_fused_spatial_train_step_2d(
+                    env, self.model, self.opt, mesh, self.obs, self.low,
+                    self.high)
+                ep_hard = make_fused_spatial_episode(
+                    env, mesh, differentiable=False)
+            else:
+                from dhts.apps.control.itscp import spatial as itscp_spatial
+
+                self._train_step = itscp_spatial.make_spatial_train_step(
+                    env, self.model, self.opt, mesh, self.obs, self.low,
+                    self.high)
+                ep_hard = itscp_spatial.make_spatial_episode(
+                    env, mesh, differentiable=False)
 
             # jit the controller prefix: running it eagerly costs per-op
             # dispatch (painful through the remote-TPU tunnel's ~24 ms
