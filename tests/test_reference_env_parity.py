@@ -408,3 +408,38 @@ def test_soft_mode_parity(mode):
                                err_msg="per-step soft queue curve")
     assert abs(float(res.reward) - r["reward"]) <= 1e-2 * max(
         1.0, abs(r["reward"])), (float(res.reward), r["reward"])
+
+
+def test_env_action_gradient_parity_macro():
+    """THE end-to-end differentiability check: d(episode reward)/d(action)
+    computed by torch autograd through the reference env (80 soft steps of
+    dMacroLane custom backwards + soft signal/queue logic) vs jax.grad
+    through the dhts episode, on the identical deterministic macro
+    scenario. The RMS interleaving divergence bounds the tolerance."""
+    import torch as th
+
+    ref, _ = _make_ref_env("macro")
+    mine, _ = _make_dhts_env("macro")
+
+    action_t = th.tensor(_action("macro"), requires_grad=True)
+    ref.time = 0
+    ref.queue_length.clear()
+    ref.flux.clear()
+    ref.avg_speed.clear()
+    for _ in range(_horizon("macro")):
+        ref._simulate_step(action_t, True)
+    reward_t = ref._reward(action_t)
+    reward_t.backward()
+    g_ref = action_t.grad.numpy()
+
+    fn = jax.jit(jax.grad(lambda a: denv._make_episode_fn(
+        mine.spec, mine.meta, mine.config, True)(
+            a, mine.data, mine.base_state, jax.random.PRNGKey(0)).reward))
+    # both rewards are already -sum(queue) (reward_queue_c = -1)
+    g_mine = np.asarray(fn(jnp.asarray(_action("macro"))))
+
+    cos = np.sum(g_ref * g_mine) / (
+        np.linalg.norm(g_ref) * np.linalg.norm(g_mine) + 1e-30)
+    assert cos > 0.999, (cos, g_ref, g_mine)
+    np.testing.assert_allclose(g_mine, g_ref, rtol=5e-2,
+                               atol=1e-3 * np.abs(g_ref).max())
