@@ -443,3 +443,39 @@ def test_env_action_gradient_parity_macro():
     assert cos > 0.999, (cos, g_ref, g_mine)
     np.testing.assert_allclose(g_mine, g_ref, rtol=5e-2,
                                atol=1e-3 * np.abs(g_ref).max())
+
+
+def test_env_action_gradient_parity_hybrid():
+    """The crown parity check: action gradients through the FULL hybrid
+    episode — flux-capacitor emissions, deposits, transfers, soft signals,
+    RMS-sharpened queue — computed by the reference's hand-written
+    per-step backwards (torch autograd chain) vs jax.grad through the
+    dhts scan episode, on the identical deterministic 3x3 scenario with
+    live conversion events. Measured: cosine 1.0, max rel 4.3e-4
+    (~60 s: 160 reference steps forward + backward)."""
+    import torch as th
+
+    ref, _ = _make_ref_env("hybrid")
+    mine, _ = _make_dhts_env("hybrid")
+
+    action_t = th.tensor(_action("hybrid"), requires_grad=True)
+    ref.time = 0
+    ref.queue_length.clear()
+    ref.flux.clear()
+    ref.avg_speed.clear()
+    for _ in range(_horizon("hybrid")):
+        ref._simulate_step(action_t, True)
+    ref._reward(action_t).backward()
+    g_ref = action_t.grad.numpy()
+    assert np.isfinite(g_ref).all()
+
+    fn = jax.jit(jax.grad(lambda a: denv._make_episode_fn(
+        mine.spec, mine.meta, mine.config, True)(
+            a, mine.data, mine.base_state, jax.random.PRNGKey(0)).reward))
+    g_mine = np.asarray(fn(jnp.asarray(_action("hybrid"))))
+
+    cos = np.sum(g_ref * g_mine) / (
+        np.linalg.norm(g_ref) * np.linalg.norm(g_mine) + 1e-30)
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(g_mine, g_ref, rtol=5e-2,
+                               atol=2e-3 * np.abs(g_ref).max())
