@@ -156,3 +156,14 @@ def test_fused_spatial_train_step_2d(micro_env):
                                           _mesh(4), obs, low, high)
     _, _, l1 = step1(params, opt.init(params), keys)
     np.testing.assert_allclose(float(l2d), float(l1), rtol=1e-5)
+
+
+def test_hybrid_4x4_eight_shards():
+    """The round-1 verdict's exact target configuration: a 4x4 grid (256
+    lanes, border macro / interior micro) sharded over the full 8-device
+    mesh, with live emission/deposit events."""
+    env = ItscpEnv(config=dict(HYBRID_CFG, num_intersection=4),
+                   schedule_fn=problem_1)
+    env.reset()
+    res = _check(env, 8, differentiable=True)
+    assert int(res.emitted) > 0
