@@ -96,7 +96,12 @@ class CmaEs:
         width = np.where(np.isfinite(hi - lo) & (hi - lo > 0), hi - lo, 1.0)
         dist2 = np.sum(((x_raw - x_repaired) / width) ** 2, axis=1)
         med = np.median(fitness)
-        spread = np.median(np.abs(fitness - med)) + 1e-12 * (1 + abs(med))
+        # Floor the MAD with an objective-scale minimum (pycma's
+        # BoundPenalty does the same): on a plateau generation the raw
+        # spread is ~0 and the penalty would vanish, letting the
+        # distribution drift arbitrarily far out of bounds unpenalized.
+        mad = np.median(np.abs(fitness - med))
+        spread = max(mad, 1e-2 * abs(med), 1e-8)
         return (self._pen_gamma * spread) * dist2
 
     _pen_gamma = 100.0

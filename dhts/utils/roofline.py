@@ -24,18 +24,24 @@ PEAKS = {
     # device_kind substring -> (bf16 FLOP/s, f32-HIGHEST FLOP/s, HBM B/s)
     "v5 lite": (1.97e14, 1.97e14 / 6, 8.19e11),
     "v5e": (1.97e14, 1.97e14 / 6, 8.19e11),
+    "v5p": (4.59e14, 4.59e14 / 6, 2.765e12),
     "v4": (2.75e14, 2.75e14 / 6, 1.2e12),
-    "v6": (9.18e14, 9.18e14 / 6, 1.64e12),
+    "v6e": (9.18e14, 9.18e14 / 6, 1.64e12),
+    "trillium": (9.18e14, 9.18e14 / 6, 1.64e12),
 }
 _DEFAULT = PEAKS["v5e"]
 
 
-def peaks_for(device_kind: str):
+def peaks_for(device_kind: str, with_source: bool = False):
+    """Peak numbers for a device kind string. Longest-substring match so
+    'v5p'/'v5e'/'v5 lite' disambiguate; unknown kinds fall back to v5e
+    peaks (with ``peak_source='default(v5e)'`` when ``with_source``) rather
+    than silently picking a wrong sibling."""
     dk = (device_kind or "").lower()
-    for key, val in PEAKS.items():
+    for key in sorted(PEAKS, key=len, reverse=True):
         if key in dk:
-            return val
-    return _DEFAULT
+            return (PEAKS[key], key) if with_source else PEAKS[key]
+    return (_DEFAULT, "default(v5e)") if with_source else _DEFAULT
 
 
 def report(step_cost: dict, residual_bytes_per_step: int,
@@ -46,7 +52,8 @@ def report(step_cost: dict, residual_bytes_per_step: int,
     ``steps_per_sec`` is aggregate simulation steps/sec (batch included);
     utilization is computed for the whole chip.
     """
-    peak_bf16, peak_f32, hbm_bw = peaks_for(device_kind)
+    (peak_bf16, peak_f32, hbm_bw), peak_source = peaks_for(
+        device_kind, with_source=True)
     flops_step = step_cost["flops_fwd"] + step_cost["flops_bwd"]
     # residuals: forward writes each block once, backward reads it once
     hbm_step = 2.0 * residual_bytes_per_step
@@ -71,4 +78,5 @@ def report(step_cost: dict, residual_bytes_per_step: int,
         compute_time_frac=t_compute / t_meas,
         hbm_time_frac=t_hbm / t_meas,
         binding=binding,
+        peak_source=peak_source,
     )
