@@ -103,6 +103,7 @@ def test_spatial_rollout_matches_unsharded(n_lane):
     assert int(s_final.veh_counter) == int(u_final.veh_counter)
 
 
+@pytest.mark.slow
 def test_spatial_gradients_match_unsharded():
     """grad of a rollout loss w.r.t. the initial macro state must agree:
     the all_gather transposes and straight-through event semantics have to
@@ -194,6 +195,7 @@ def test_spatial_itscp_gradients_match_scan_env(mode):
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_spatial_train_step_2d_mesh_matches_unsharded():
     """(data, lane) 2-D mesh: batch of episodes x sharded scene. Loss and
     parameter gradients must match the unsharded vmapped scan env."""
@@ -246,6 +248,7 @@ def test_spatial_train_step_2d_mesh_matches_unsharded():
                                rtol=5e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_trainer_spatial_mesh_mode(tmp_path):
     """Trainer(mesh=...) trains through the spatially-sharded train step:
     losses finite, eval runs, checkpoints written."""

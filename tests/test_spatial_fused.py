@@ -20,6 +20,10 @@ from dhts.apps.control.itscp.env import ItscpEnv
 from dhts.apps.control.itscp.problem import problem_1
 from dhts.ops.pallas.itscp_spatial_step import make_fused_spatial_episode
 
+# every test here runs multi-shard fused episodes with gradients on the
+# 1-core CI host (34-240 s each): full-suite tier only
+pytestmark = pytest.mark.slow
+
 MICRO_CFG = dict(num_intersection=1, num_lane=2, lane_length=20.0,
                  speed_limit=20.0, cell_length=5.0, policy_length=4,
                  signal_length=2, simulation_frequency=10, random_seed=3,
