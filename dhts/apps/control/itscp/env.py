@@ -148,7 +148,11 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         mic = state.micro
         V = mic.position.shape[1]
         ar = jnp.arange(L)
-        lane_sig = lane_signals(meta, action2d, t, nsf, n_phases, diff)
+        # action2d.shape[0] (== n_phases on the whole-episode path) so the
+        # same step serves chunked rollouts whose action covers one policy
+        # round only (ItscpEnv.step)
+        lane_sig = lane_signals(meta, action2d, t, nsf, action2d.shape[0],
+                                diff)
         incoming = jnp.where(meta.has_prev, -1.0, sched_t)
 
         # ---- micro injection (before leader search; _simulator.py:153-174)
@@ -322,6 +326,43 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         return (state, inj_left, is_static_ms, signal_ms, queue, n_inj,
                 emitted, absorbed, jnp.max(max_wave), lane_sig)
 
+    def _lane_flux_speed(state):
+        """Per-lane (flux, avg_speed) diagnostics for the recorder path.
+
+        The reference initializes ``flux``/``avg_speed`` histories and a
+        commented-out reward term over them but never fills them
+        (``_env.py:119-120,670-672,787-795``); this is the intended
+        diagnostic with one uniform definition across modes:
+
+        * ``flux``: average vehicle-mass flow along the lane, in m/s of
+          vehicle length — macro ``(1/len)*sum(r*u*dx)`` (the same ``r*u``
+          the flux capacitor accumulates, conversion.py:32-34), micro
+          ``(1/len)*sum(v_i*len_i)`` (k*v with k the occupied fraction);
+        * ``avg_speed``: mean cell speed (macro) / mean active-vehicle
+          speed (micro); empty micro lanes read free-flow
+          ``speed_limit`` (an empty macro lane's cells do too).
+        """
+        u_cells = network.macro_cell_u(spec, state.macro)
+        cell_m = (spec.cell_mask & spec.is_macro[:, None]).astype(
+            jnp.float32)
+        flux_m = (jnp.sum(state.macro.r * u_cells * cell_m *
+                          spec.cell_length[:, None], axis=1) / spec.length)
+        n_c = jnp.maximum(jnp.sum(cell_m, axis=1), 1.0)
+        avg_m = jnp.sum(u_cells * cell_m, axis=1) / n_c
+        if all_macro:
+            return flux_m, avg_m
+        veh_m = (state.micro.active & ~spec.is_macro[:, None]).astype(
+            jnp.float32)
+        flux_v = (jnp.sum(state.micro.speed * state.micro.params.length *
+                          veh_m, axis=1) / spec.length)
+        n_v = jnp.sum(veh_m, axis=1)
+        avg_v = jnp.where(n_v > 0,
+                          jnp.sum(state.micro.speed * veh_m, axis=1) /
+                          jnp.maximum(n_v, 1.0), spec.speed_limit)
+        flux = jnp.where(spec.is_macro, flux_m, flux_v)
+        avg = jnp.where(spec.is_macro, avg_m, avg_v)
+        return flux, avg
+
     def episode(action_flat, data: EpisodeData, state0, key):
         """Full rollout; ``action_flat`` is the [n_phases * n_inter] action
         vector (reference action layout, ``_env.py:899-903``)."""
@@ -339,7 +380,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
                  state, t, action2d, sched_t, rand_t, data.inj_routes,
                  inj_left, ms_stat, ms_sig)
             rec = ((state.macro.r, state.micro.position, state.micro.count,
-                    lane_sig) if record else None)
+                    lane_sig) + _lane_flux_speed(state) if record else None)
             return ((state, inj_left, ms_stat, ms_sig),
                     (queue, n_inj, emitted, absorbed, max_wave, rec))
 
@@ -366,9 +407,43 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
                                    [n_inj, emitted, absorbed], axis=1))
         return (result, rec) if record else result
 
+    def chunk(action_flat, sched, mnext, mprev, rand, inj_routes, state0,
+              inj_left, ms_stat, ms_sig):
+        """One incremental rollout chunk (``ItscpEnv.step``): scan the
+        ``sched.shape[0]`` provided steps from ``state0`` with an action
+        covering only this chunk's phases, threading the cross-chunk carry
+        (injection pools + RMS statistics) explicitly. Chaining chunks
+        whose actions are consecutive slices of a full-horizon action
+        reproduces ``episode`` exactly (the signal phase index is local
+        to the chunk; tests/test_env_step_facade.py)."""
+        action2d = action_flat.reshape(-1, n_inter)
+        Tc = sched.shape[0]
+
+        def body(carry, inputs):
+            state, inj_left, ms_stat, ms_sig = carry
+            t, sched_t, nxt_t, prv_t, rand_t = inputs
+            state = state._replace(macro_next=nxt_t, macro_prev=prv_t)
+            (state, inj_left, ms_stat, ms_sig, queue, n_inj, emitted,
+             absorbed, max_wave, _) = boundary_and_step(
+                 state, t, action2d, sched_t, rand_t, inj_routes,
+                 inj_left, ms_stat, ms_sig)
+            return ((state, inj_left, ms_stat, ms_sig),
+                    (queue, n_inj, emitted, absorbed, max_wave))
+
+        carry, (queues, n_inj, emitted, absorbed, max_wave) = jax.lax.scan(
+            body, (state0, inj_left, ms_stat, ms_sig),
+            (jnp.arange(Tc), sched, mnext, mprev, rand))
+        result = EpisodeResult(
+            reward=-jnp.sum(queues), queue_per_step=queues,
+            emitted=jnp.sum(emitted), absorbed=jnp.sum(absorbed),
+            injected=jnp.sum(n_inj), max_wave_speed=jnp.max(max_wave),
+            events_per_step=jnp.stack([n_inj, emitted, absorbed], axis=1))
+        return result, carry
+
     # the raw per-step function, exposed for step-level differential testing
     # against the fused whole-episode kernels
     episode.boundary_and_step = boundary_and_step
+    episode.chunk = chunk
     return episode
 
 
@@ -478,6 +553,8 @@ class ItscpEnv:
             self._episode_hard = jax.jit(
                 _make_episode_fn(self.spec, self.meta, c, False))
             self._fused_hyb_fn = None  # scene changed: rebuild the kernel
+            self._chunk_jit = None  # incremental-step chunks too
+        self._inc = None  # abandon any in-flight incremental episode
         # leader-search window bound for the fused kernel: computed here,
         # once per reset, because it depends on the freshly drawn pools
         # (and reading them is a host transfer)
@@ -519,6 +596,63 @@ class ItscpEnv:
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
+    def step(self, action, differentiable: bool = False, key=None):
+        """Gym-style incremental driver (the reference ``step`` surface,
+        ``_env.py:560``, which consumes the whole horizon in one call;
+        here each call advances ONE policy round = ``policy_length``
+        seconds so an external RL loop can act round-by-round).
+
+        ``action``: ``[phases_per_round * n_inter]`` for this round. After
+        ``duration`` calls the episode terminates. The injection stream is
+        drawn once per episode from ``key`` at the first call (default:
+        PRNGKey(random_seed)), and the cross-round carry (sim state,
+        waiting pools, RMS statistics) is threaded exactly, so chaining
+        the rounds with consecutive slices of a full-horizon action
+        reproduces ``episode`` bit-for-bit. Returns
+        ``(obs, reward, terminated, truncated, info)``.
+        """
+        c = self.config
+        Tc = c["policy_length"] * c["simulation_frequency"]
+        T, L = self.num_timestep, self.spec.num_lanes
+        ppc = max(1, c["policy_length"] // c["signal_length"])
+        n_act = ppc * c["num_intersection"] ** 2
+        action = jnp.asarray(action).reshape(-1)
+        assert action.shape[0] == n_act, (
+            f"step() takes one policy round's action ({n_act} values), "
+            f"got {action.shape[0]}")
+        if getattr(self, "_inc", None) is None:
+            if key is None:
+                key = jax.random.PRNGKey(max(c["random_seed"], 0))
+            P = self.data.inj_routes.shape[1]
+            inj0 = jnp.where(~self.meta.has_prev & ~self.spec.is_macro,
+                             P, 0).astype(jnp.int32)
+            self._inc = dict(state=self.base_state, inj_left=inj0,
+                             ms_stat=rms.init_mean_state(),
+                             ms_sig=rms.init_mean_state(),
+                             rand=jax.random.uniform(key, (T, L)), i=0)
+        if getattr(self, "_chunk_jit", None) is None:
+            self._chunk_jit = {}
+        if differentiable not in self._chunk_jit:
+            fn = self._episode_soft if differentiable else self._episode_hard
+            self._chunk_jit[differentiable] = jax.jit(fn.chunk)
+        inc = self._inc
+        i, sl = inc["i"], slice(inc["i"] * Tc, (inc["i"] + 1) * Tc)
+        res, (state, inj_left, ms_stat, ms_sig) = self._chunk_jit[
+            differentiable](action, self.data.schedule[sl],
+                            self.data.mroute_next[sl],
+                            self.data.mroute_prev[sl], inc["rand"][sl],
+                            self.data.inj_routes, inc["state"], inc["inj_left"],
+                            inc["ms_stat"], inc["ms_sig"])
+        terminated = (i + 1) * Tc >= T
+        if terminated:
+            self._inc = None
+        else:
+            self._inc = dict(state=state, inj_left=inj_left,
+                             ms_stat=ms_stat, ms_sig=ms_sig,
+                             rand=inc["rand"], i=i + 1)
+        info = dict(result=res, round=i)
+        return self.observe(), float(res.reward), terminated, False, info
+
     def _fused_hybrid_episode(self, action, key) -> EpisodeResult:
         run_one = self._fused_episode_one()
         return run_one(jnp.asarray(action), self.data, key)
@@ -542,8 +676,7 @@ class ItscpEnv:
             P2 = self.base_state.route_pool.shape[1]
             self._fused_hyb_fn = make_fused_itscp_episode(
                 self.spec, self.meta, self.config, V, R, P, P2,
-                differentiable=True, window=win,
-                inkernel_prng=bool(self.config.get("use_inkernel_prng")))
+                differentiable=True, window=win)
             self._fused_win = win
         fn = self._fused_hyb_fn
         c = self.config
@@ -552,22 +685,12 @@ class ItscpEnv:
         T, L = self.num_timestep, self.spec.num_lanes
         pool = self.base_state.route_pool
 
-        inkernel = bool(c.get("use_inkernel_prng"))
-
         def one(action_flat, data, key, pool=pool):
-            if inkernel:
-                # injection uniforms drawn on-chip (pltpu PRNG) from a
-                # seed derived from the episode key; the [T, L] stream is
-                # a zeros placeholder the kernel ignores
-                rand = jnp.zeros((T, L))
-                seed = (key[0] ^ key[1]).astype(jnp.int32)
-            else:
-                rand = jax.random.uniform(key, (T, L))  # same as the scan
-                seed = None
+            rand = jax.random.uniform(key, (T, L))  # same as the scan
             reward, queues, events = fn(
                 action_flat.reshape(n_phases, -1), data.schedule,
                 data.mroute_next, data.mroute_prev, rand, data.inj_routes,
-                pool, with_events=True, rng_seed=seed)
+                pool, with_events=True)
             ev = events[:, :3].astype(jnp.int32)
             return EpisodeResult(reward=reward, queue_per_step=queues,
                                  emitted=jnp.sum(ev[:, 1]),
@@ -731,7 +854,12 @@ class ItscpEnv:
                                  record=True))
         result, rec = self._episode_rec(jnp.asarray(action), self.data,
                                         self.base_state, key)
-        rs, poss, counts, sigs = (np.asarray(x) for x in rec)
+        rs, poss, counts, sigs, flux, avg_speed = (np.asarray(x)
+                                                   for x in rec)
+        # per-lane [T, L] diagnostic histories (the reference's intended
+        # flux/avg_speed records, _env.py:119-120; see _lane_flux_speed)
+        self.flux = flux
+        self.avg_speed = avg_speed
         active = np.arange(poss.shape[2])[None, None, :] < counts[:, :, None]
         raster = render.Raster(self.grid.segments)
         frames = [

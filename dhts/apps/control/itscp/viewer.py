@@ -128,7 +128,7 @@ def export_html(env, action, key, path: str, every: int = 2) -> str:
             env.spec, env.meta, env.config, False, record=True))
     _, rec = env._episode_rec(np.asarray(action, np.float32), env.data,
                               env.base_state, key)
-    rs, poss, counts, sigs = (np.asarray(x) for x in rec)
+    rs, poss, counts, sigs, _, _ = (np.asarray(x) for x in rec)
     sel = slice(0, rs.shape[0], max(1, every))
     rnd = lambda a, d: np.round(a.astype(np.float64), d).tolist()
     data = dict(

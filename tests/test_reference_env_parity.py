@@ -39,8 +39,11 @@ import pytest
 
 REF = "/root/reference"
 STUB = os.path.join(os.path.dirname(__file__), "refstub")
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.slow,  # drives the actual reference torch env
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference repo not mounted"),
+]
 for p in (REF, STUB):
     if os.path.isdir(p) and p not in sys.path:
         sys.path.insert(0, p)
@@ -216,6 +219,7 @@ def _run_ref(env, mode, differentiable):
     env.flux.clear()
     env.avg_speed.clear()
     r_hist = np.zeros((T, L, C), np.float64)
+    u_hist = np.zeros((T, L, C), np.float64)
     pos_hist = np.full((T, L, Vmax), np.nan)
     vel_hist = np.full((T, L, Vmax), np.nan)
     cnt_hist = np.zeros((T, L), np.int64)
@@ -228,6 +232,7 @@ def _run_ref(env, mode, differentiable):
                 with th.no_grad():
                     r, y, u = lane.get_state_vector()
                 r_hist[t, i, :lane.num_cell] = r.numpy()
+                u_hist[t, i, :lane.num_cell] = u.numpy()
             else:
                 cnt_hist[t, i] = len(lane.curr_vehicle)
                 for vi, v in enumerate(lane.curr_vehicle):
@@ -244,8 +249,8 @@ def _run_ref(env, mode, differentiable):
             queue[t, i] = float(q.detach()) if hasattr(q, "detach") else q
     reward = env._reward(action)
     reward = float(reward.detach()) if hasattr(reward, "detach") else reward
-    return dict(r=r_hist, pos=pos_hist, vel=vel_hist, cnt=cnt_hist,
-                sig=sig_hist, queue=queue, reward=reward)
+    return dict(r=r_hist, u=u_hist, pos=pos_hist, vel=vel_hist,
+                cnt=cnt_hist, sig=sig_hist, queue=queue, reward=reward)
 
 
 # -- dhts-side driving --------------------------------------------------------
@@ -302,8 +307,8 @@ def _run_dhts(env, mode, differentiable):
                                        differentiable, record=True))
     res, rec = fn(jnp.asarray(_action(mode)), env.data, env.base_state,
                   jax.random.PRNGKey(0))
-    rs, pos, cnt, sigs = (np.asarray(x) for x in rec)
-    return res, dict(r=rs, pos=pos, cnt=cnt, sig=sigs)
+    rs, pos, cnt, sigs, flux, avg = (np.asarray(x) for x in rec)
+    return res, dict(r=rs, pos=pos, cnt=cnt, sig=sigs, flux=flux, avg=avg)
 
 
 def _compare_micro_positions(mine, ref, atol):
@@ -479,3 +484,44 @@ def test_env_action_gradient_parity_hybrid():
     assert cos > 0.9999, cos
     np.testing.assert_allclose(g_mine, g_ref, rtol=5e-2,
                                atol=2e-3 * np.abs(g_ref).max())
+
+
+@pytest.mark.parametrize("fmode", ["macro", "micro"])
+def test_flux_avg_speed_history_parity(fmode):
+    """The recorder's per-lane flux / avg_speed histories (the reference
+    initializes these containers but never fills them, _env.py:119-120;
+    dhts records the intended diagnostic, env._lane_flux_speed) must match
+    the same quantity recomputed from the reference env's per-step states
+    (hard mode: exact branch logic on both sides)."""
+    ref_env, _ = _make_ref_env(fmode)
+    ref = _run_ref(ref_env, fmode, False)
+    env, _ = _make_dhts_env(fmode)
+    _, mine = _run_dhts(env, fmode, False)
+
+    L = ref["cnt"].shape[1]
+    spec = env.spec
+    cell_len = np.asarray(spec.cell_length)
+    length = np.asarray(spec.length)
+    is_macro = np.asarray(spec.is_macro)
+    num_cell = np.asarray(spec.num_cell)
+    T = ref["r"].shape[0]
+    veh_len = env.config["vehicle_length"]
+    flux_ref = np.zeros((T, L))
+    avg_ref = np.zeros((T, L))
+    for l in range(L):
+        if is_macro[l]:
+            n = int(num_cell[l])
+            flux_ref[:, l] = ((ref["r"][:, l, :n] * ref["u"][:, l, :n])
+                              .sum(axis=1) * cell_len[l] / length[l])
+            avg_ref[:, l] = ref["u"][:, l, :n].mean(axis=1)
+        else:
+            for t in range(T):
+                n = int(ref["cnt"][t, l])
+                if n:
+                    flux_ref[t, l] = (np.nansum(ref["vel"][t, l, :n]) *
+                                      veh_len / length[l])
+                    avg_ref[t, l] = np.nanmean(ref["vel"][t, l, :n])
+                else:
+                    avg_ref[t, l] = env.config["speed_limit"]
+    np.testing.assert_allclose(mine["flux"][:, :L], flux_ref, atol=1e-4)
+    np.testing.assert_allclose(mine["avg"][:, :L], avg_ref, atol=1e-4)
