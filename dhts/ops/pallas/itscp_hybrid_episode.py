@@ -73,8 +73,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                              P_emit: int, differentiable: bool = False, *,
                              window: int | None = None,
                              interpret: bool | None = None,
-                             episodes: int = 1, ep_of_lane=None,
-                             inkernel_prng: bool = False):
+                             episodes: int = 1, ep_of_lane=None):
     """Build the fused differentiable episode for a (possibly) hybrid scene.
 
     Returns ``fn(action2d, schedule[T,L], mnext[T,L], mprev[T,L],
@@ -230,17 +229,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
                 idx_row).astype(jnp.float32)
 
-    def gather_l(values_row, idx_row):
-        return jnp.dot(values_row, oh_l(idx_row),
-                       preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-
-    def gather_l_int(values_row, idx_row, fill=0):
-        g = jnp.dot(values_row.astype(jnp.float32), oh_l(idx_row),
-                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-        out = g.astype(jnp.int32)
-        return jnp.where(idx_row >= 0, out, fill)
+    def oh_multi(idx_rows):
+        """[Lp, M*Lp] horizontal concat of the M one-hot blocks of M
+        [1, Lp] index rows, built with ONE iota compare instead of M —
+        feeding ONE wide gather matmul instead of M narrow ones. Each
+        block's columns match :func:`oh_l` exactly (invalid ids -> zero
+        columns), so sliced results are bit-identical to per-index
+        gathers."""
+        idx = jnp.concatenate(idx_rows, axis=1)
+        return (jax.lax.broadcasted_iota(
+            jnp.int32, (Lp, idx.shape[1]), 0) == idx).astype(jnp.float32)
 
     def gather_rows(rows, idx_row, oh=None):
         """Gather many [*, Lp] rows at the SAME lane index in one MXU pass:
@@ -298,9 +296,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
              walk_saved=None, walk_saved_f=None):
-        (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
-         count, route, ridx, cap, inj_left, cursor, ss_tot, ss_cnt, sg_tot,
-         sg_cnt) = carry
+        # Per-vehicle IDM parameters are NOT carried: every vehicle in the
+        # ITSCP scene is created with the same ``dflt`` values (injection
+        # and emission both use default_micro_vehicle semantics,
+        # micro_vehicle.py:30-72; transfers copy the source vehicle), so
+        # the six [Vp, Lp] param planes the scan env carries are constant
+        # by induction — the kernel substitutes the scalars everywhere,
+        # deleting 12 tail-insert shifts, 6 gather rows and ~96 KB/step of
+        # residual traffic with bit-identical values.
+        (r, y, pos, vel, av, count, route, ridx, cap, inj_left, cursor,
+         ss_tot, ss_cnt, sg_tot, sg_cnt) = carry
         act_rows = (jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) <
                     count).astype(jnp.float32)
         micro_row = 1.0 - cn["is_macro"]
@@ -323,7 +328,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
 
         # ---- injection (env lines: free space, rand < incoming, pool left)
-        free = jnp.where(count > 0, pos[:1] - 0.5 * p_len[:1], cn["length"])
+        free = jnp.where(count > 0, pos[:1] - 0.5 * veh_len, cn["length"])
         inject = ((cn["has_prev"] == 0) & (micro_row > 0) &
                   (free > 0.5 * veh_len) & (rand_t < incoming) &
                   (inj_left > 0) & (count < V))
@@ -336,13 +341,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pos = tail_insert(pos, jnp.zeros((Lp,)), im)
         vel = tail_insert(vel, jnp.zeros((Lp,)), im)
         av = tail_insert(av, jnp.full((Lp,), veh_len), im)
-        p_amax = tail_insert(p_amax, jnp.full((Lp,), dflt["accel_max"]), im)
-        p_apref = tail_insert(p_apref, jnp.full((Lp,), dflt["accel_pref"]),
-                              im)
-        p_vt = tail_insert(p_vt, jnp.full((Lp,), dflt["target_speed"]), im)
-        p_ms = tail_insert(p_ms, jnp.full((Lp,), dflt["min_space"]), im)
-        p_tp = tail_insert(p_tp, jnp.full((Lp,), dflt["time_pref"]), im)
-        p_len = tail_insert(p_len, jnp.full((Lp,), dflt["length"]), im)
         route = jnp.where(im[None], jnp.concatenate(
             [new_route[None], route[:-1]], axis=0), route)
         ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
@@ -356,24 +354,33 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         r_first = jnp.sum(r * cn["first_pick"], axis=0, keepdims=True)
         u_first = jnp.sum(u * cn["first_pick"], axis=0, keepdims=True)
         adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
-        gp = gather_rows([cn["is_macro"], r_last, u_last], adjp)
+        adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
+        # ONE wide gather for all three boundary index rows (adjp, adjn,
+        # mprev): one iota build + one matmul; each sliced block is
+        # bit-identical to the former per-index gathers
+        ohb = oh_multi([adjp, adjn, mprev_t])
+        gb = jnp.dot(
+            jnp.concatenate([cn["is_macro"], r_last, u_last, r_first,
+                             u_first, sig], axis=0), ohb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        gp = gb[0:3, :Lp]
         use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & (gp[0:1] > 0.5)
         hp_b = cn["has_prev"] > 0
         gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0), incoming)
         gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
                          arz.compute_u_eq(incoming, u_max))
         # prev_sig follows mprev_t, which equals adjp only on single-prev
-        # lanes -> its own gather
+        # lanes -> its own gather (block 3 of gb)
         prev_sig = jnp.where(~hp_b, 1.0,
                              jnp.where(mprev_t < 0, 0.0,
-                                       gather_l(sig, mprev_t)))
+                                       gb[5:6, 2 * Lp:3 * Lp]))
         bl_r = gl_r * prev_sig
         bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
-        adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
-        gn = gather_rows([cn["is_macro"], r_first, u_first], adjn)
-        use_nb_r = (cn["num_next"] > 0) & (adjn >= 0) & (gn[0:1] > 0.5)
-        gr_r = jnp.where(use_nb_r, gn[1:2], 0.0)
-        gr_u = jnp.where(use_nb_r, gn[2:3], u_max)
+        use_nb_r = ((cn["num_next"] > 0) & (adjn >= 0) &
+                    (gb[0:1, Lp:2 * Lp] > 0.5))
+        gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
+        gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
         s_own = soft(sig - 0.5, 32.0) if diff else \
             (sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s_own + (1.0 - s_own)
@@ -383,7 +390,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         ohv_h = head_oh(count)
         hv_pos = pick_v(pos, ohv_h)
         hv_vel = pick_v(vel, ohv_h)
-        hv_len = pick_v(p_len, ohv_h)
         hv_a = pick_v(av, ohv_h)
         route_h = pick_route(route, ohv_h)  # [R, Lp]
         ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
@@ -406,14 +412,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # (tail position, tail speed, tail length); the head-position
         # gradient is re-attached straight-through onto the stop-gradient
         # accumulated gap (value unchanged: base - stop_grad(base) == 0).
-        base = cn["length"] - hv_pos - hv_len * 0.5
+        base = cn["length"] - hv_pos - veh_len * 0.5
 
-        def walk_hop(o, done, found, wstar, cdel_st, cur_delta):
-            j = ridx_h + 1 + o
-            wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
+        def walk_latch(wl, gw, done, found, wstar, cdel_st, cur_delta):
+            """One hop's latch logic on already-gathered [is_macro, count,
+            length] rows (elementwise on [1, Lp] rows only)."""
             exists = wl >= 0
-            gw = gather_rows_sg([cn["is_macro"], count_row, cn["length"]],
-                                wl)
             w_macro = gw[0:1] > 0.5
             occupied = exists & ~w_macro & (gw[1:2] > 0.5)
             term_default = ~done & (~exists | (exists & w_macro))
@@ -426,16 +430,47 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             cur_delta = jnp.where(~done, cur_delta + gw[2:3], cur_delta)
             return done, found, wstar, cdel_st, cur_delta
 
+        def walk_hop(o, done, found, wstar, cdel_st, cur_delta):
+            j = ridx_h + 1 + o
+            wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
+            gw = gather_rows_sg([cn["is_macro"], count_row, cn["length"]],
+                                wl)
+            return walk_latch(wl, gw, done, found, wstar, cdel_st,
+                              cur_delta)
+
+        def batched_route_pick(n_extra):
+            """Route entries at (ridx-1, ridx, ridx+1 .. ridx+n_extra) for
+            every lane in ONE [R, (2+n_extra)*Lp] compare + mul-sum —
+            replacing 2+n_extra ``pick_r`` calls; each sliced block is
+            bit-identical (same per-column sum over R)."""
+            j_cat = jnp.concatenate([ridx_h - 1, ridx_h] +
+                                    [ridx_h + 1 + o for o in range(n_extra)],
+                                    axis=1)
+            okj = (j_cat >= 0) & (j_cat < R)
+            ohr = ((jax.lax.broadcasted_iota(
+                jnp.int32, (R, j_cat.shape[1]), 0) == j_cat) &
+                okj).astype(jnp.float32)
+            route_t = jnp.concatenate(
+                [route_h.astype(jnp.float32)] * (2 + n_extra), axis=1)
+            ent = jnp.sum(route_t * ohr, axis=0, keepdims=True)
+            return jnp.where(okj, ent.astype(jnp.int32), -1)
+
         walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
                  jnp.full((1, Lp), -1, jnp.int32), jnp.zeros((1, Lp)), base)
         if walk_saved is not None:
             # backward replay: the walk's terminating state was saved as a
             # per-step residual by the forward (it is deterministic and
             # carries no gradient), so the W-hop loop is skipped entirely
+            ent = batched_route_pick(1)
+            prev_l, curr_l, next_l = (ent[:, :Lp], ent[:, Lp:2 * Lp],
+                                      ent[:, 2 * Lp:])
             found = walk_saved[0:1] > 0
             wstar = walk_saved[1:2]
             cdel_st = walk_saved_f
         elif early_exit:
+            prev_l = pick_r(route_h, ridx_h - 1)
+            curr_l = pick_r(route_h, ridx_h)
+            next_l = pick_r(route_h, ridx_h + 1)
             # Forward kernels only: hop until EVERY lane's walk terminated
             # (on ITSCP grids that is typically 1-3 hops, while the static
             # bound W hits the R-1 cap at 5x5+). Values are identical to
@@ -460,22 +495,41 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             done, found = st[1] > 0, st[2] > 0
             wstar, cdel_st, cur_delta = st[3:]
         else:
+            # Batched walk (small W): route ids for ALL hops plus the
+            # prev/curr neighbours in one pick, then ONE [3, W*Lp] gather
+            # for every hop's [is_macro, count, length]; the latch loop
+            # touches only [1, Lp] rows. Values are bit-identical to the
+            # per-hop walk (same one-hot columns, same contraction).
+            ent = batched_route_pick(W)
+            prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
+            wl_cat = ent[:, 2 * Lp:]  # [1, W*Lp]
+            next_l = wl_cat[:, :Lp]
+            ohw = (jax.lax.broadcasted_iota(
+                jnp.int32, (Lp, W * Lp), 0) == wl_cat).astype(jnp.float32)
+            GW = jax.lax.stop_gradient(jnp.dot(
+                jnp.concatenate([cn["is_macro"], count_row, cn["length"]],
+                                axis=0), ohw,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
             st = walk0
             for o in range(W):
-                st = walk_hop(o, *st)
+                st = walk_latch(wl_cat[:, o * Lp:(o + 1) * Lp],
+                                GW[:, o * Lp:(o + 1) * Lp], *st)
             done, found, wstar, cdel_st, cur_delta = st
-        gt = gather_rows([pos[:1], vel[:1], p_len[:1]],
-                         jnp.where(found, wstar, -1))
+        # leader tail fields + the 3 signal lookups in ONE wide gather
+        ohg = oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
+                        next_l])  # [Lp, 4Lp]
+        gts = jnp.dot(jnp.concatenate([pos[:1], vel[:1], sig], axis=0),
+                      ohg, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        gt = gts[0:2, :Lp]
         cdel = cdel_st + (base - jax.lax.stop_gradient(base))
-        new_pd = jnp.maximum(cdel + gt[0:1] - gt[2:3] * 0.5, 0.0)
+        new_pd = jnp.maximum(cdel + gt[0:1] - veh_len * 0.5, 0.0)
         pd_g = jnp.where(found, new_pd, 1000.0)
         sd_g = jnp.where(found, hv_vel - gt[1:2], 0.0)
 
         # ---- micro signal blending (env boundary_and_step)
-        red_pd = jnp.maximum(cn["length"] - hv_pos - hv_len * 0.5, 0.0)
-        prev_l = pick_r(route_h, ridx_h - 1)
-        next_l = pick_r(route_h, ridx_h + 1)
-        curr_l = pick_r(route_h, ridx_h)
+        red_pd = jnp.maximum(cn["length"] - hv_pos - veh_len * 0.5, 0.0)
         prev_exist = prev_l >= 0
         next_exist = next_l >= 0
         if diff:
@@ -489,14 +543,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             n_sc = jnp.zeros((1, Lp))
         ssum = p_sc + c_sc + n_sc
         p_sc, c_sc, n_sc = p_sc / ssum, c_sc / ssum, n_sc / ssum
-        # one matmul for sig at 3 different indices: concat one-hot columns
-        oh3 = jnp.concatenate([oh_l(curr_l), oh_l(prev_l), oh_l(next_l)],
-                              axis=1)  # [Lp, 3*Lp]
-        sig3 = jnp.dot(sig, oh3, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        fsig = c_sc * sig3[:, :Lp]
-        fsig += jnp.where(prev_exist, p_sc * sig3[:, Lp:2 * Lp], 0.0)
-        fsig += jnp.where(next_exist, n_sc * sig3[:, 2 * Lp:], 0.0)
+        # the 3 sig lookups ride blocks 1-3 of the ``gts`` gather above
+        fsig = c_sc * gts[2:3, Lp:2 * Lp]
+        fsig += jnp.where(prev_exist, p_sc * gts[2:3, 2 * Lp:3 * Lp], 0.0)
+        fsig += jnp.where(next_exist, n_sc * gts[2:3, 3 * Lp:], 0.0)
         blend = h_exists & (micro_row > 0)
         if diff:
             sg_tot = sg_tot + jax.lax.stop_gradient(
@@ -541,19 +591,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # ---- micro IDM step (vehicle axis 0, like the micro kernel)
         lead_pos = jnp.concatenate([pos[1:], jnp.zeros((1, Lp))], axis=0)
         lead_vel = jnp.concatenate([vel[1:], jnp.zeros((1, Lp))], axis=0)
-        lead_len = jnp.concatenate([p_len[1:], p_len[:1]], axis=0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0)
         active = rows < count
         is_head = rows == (count - 1)
-        gap = jnp.abs(lead_pos - pos) - (lead_len + p_len) * 0.5
+        gap = jnp.abs(lead_pos - pos) - veh_len
         dv = vel - lead_vel
         gap = jnp.where(is_head, pd, gap)
         dv = jnp.where(is_head, sd, dv)
         coll = gap < 0.0
         gap = jnp.maximum(jnp.where(coll, 0.0, gap), idm.POSITION_DELTA_EPS)
         dv = jnp.where(coll, 0.0, dv)
-        res = idm.idm_acceleration(p_amax, p_apref, vel, p_vt, gap, dv, p_ms,
-                                   p_tp, dt)
+        res = idm.idm_acceleration(dflt["accel_max"], dflt["accel_pref"],
+                                   vel, dflt["target_speed"], gap, dv,
+                                   dflt["min_space"], dflt["time_pref"], dt)
         acc = jnp.where(active, res.acceleration, 0.0)
         pos = jnp.where(active, pos + dt * vel, pos)
         vel = jnp.where(active, vel + dt * acc, vel)
@@ -562,13 +612,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         u = arz.compute_u(r, y, u_max)
         r_last = jnp.sum(r * cn["last_pick"], axis=0, keepdims=True)
         u_last = jnp.sum(u * cn["last_pick"], axis=0, keepdims=True)
-        mn_c = jnp.clip(mnext_t, 0, Lp - 1)
         macro_src = (cn["is_macro"] > 0) & (mnext_t >= 0)
-        count_row = count.astype(jnp.float32)
-        # every gathered row only feeds event PREDICATES (bools carry no
-        # cotangent) -> stop-gradient: no backward transpose
-        gm = gather_rows_sg([cn["is_macro"], count_row, pos[:1], p_len[:1],
-                             cn["length"]], mnext_t)
+        # head state after the IDM step (route/ridx are untouched by IDM,
+        # so the pre-walk route_h/ridx_h rows still hold — and hnext is
+        # the walk's next_l entry)
+        ohv_h = head_oh(count)
+        hv_pos = pick_v(pos, ohv_h)
+        hv_vel = pick_v(vel, ohv_h)
+        hv_a = pick_v(av, ohv_h)
+        h_exists = count > 0
+        hnext = next_l
+        # destination probes for BOTH event families (macro->micro
+        # emission at mnext, head exits at hnext) in ONE gather; every
+        # row only feeds event PREDICATES -> stop-gradient
+        ohmh = oh_multi([mnext_t, hnext])
+        gmh = jax.lax.stop_gradient(jnp.dot(
+            jnp.concatenate([cn["is_macro"], count_row, pos[:1],
+                             cn["length"]], axis=0), ohmh,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+        gm = gmh[:, :Lp]
         next_is_micro = macro_src & (gm[0:1] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
         slot_oh = ((cn["next_k"] == mnext_t) &
@@ -579,30 +642,20 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         dest_count = gm[1:2]
         free_n = jnp.where(dest_count > 0.5,
-                           gm[2:3] - 0.5 * gm[3:4], gm[4:5])
+                           gm[2:3] - 0.5 * veh_len, gm[3:4])
         want_emit = (next_is_micro &
                      (jax.lax.stop_gradient(cap_val) >= veh_len) &
                      (free_n >= veh_len) & (dest_count < V))
 
-        # head exits (recompute head info after IDM step)
-        ohv_h = head_oh(count)
-        hv_pos = pick_v(pos, ohv_h)
-        hv_vel = pick_v(vel, ohv_h)
-        hv_len = pick_v(p_len, ohv_h)
-        hv_a = pick_v(av, ohv_h)
-        route_h = pick_route(route, ohv_h)
-        ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
-        h_exists = count > 0
-        hnext = pick_r(route_h, ridx_h + 1)
         past_end = h_exists & (hv_pos >= cn["length"])
-        gh = gather_rows_sg([cn["is_macro"], count_row], hnext)
-        hn_macro = (hnext >= 0) & (gh[0:1] > 0.5)
+        hn_macro = (hnext >= 0) & (gmh[0:1, Lp:] > 0.5)
         hn_micro = (hnext >= 0) & ~hn_macro
         exit_none = past_end & (hnext < 0)
-        want_tr = past_end & hn_micro & (gh[1:2] < V)
-        want_dep = h_exists & hn_macro & (hv_pos > cn["length"] + hv_len)
+        want_tr = past_end & hn_micro & (gmh[1:2, Lp:] < V)
+        want_dep = h_exists & hn_macro & (hv_pos > cn["length"] + veh_len)
 
-        # arbitration over each dest's predecessor list
+        # arbitration over each dest's predecessor list: the 4 candidate
+        # rows gathered at ALL K static predecessor lists in one matmul
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
         best = jnp.full((1, Lp), Lp, jnp.int32)
         dep_best = jnp.full((1, Lp), Lp, jnp.int32)
@@ -610,11 +663,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
         dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
         we_f = want_emit.astype(jnp.float32)
+        ohpk = oh_multi([cn["prev_k"][k: k + 1] for k in range(K)])
+        GK = jax.lax.stop_gradient(jnp.dot(
+            jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt], axis=0),
+            ohpk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
         for k in range(K):
             pk = cn["prev_k"][k: k + 1]  # [1, Lp]
             ok = pk >= 0  # every candidate test below is gated on ok, so
             # the zeros a batched gather yields at invalid pk are harmless
-            gk = gather_rows_sg([mnext_f, we_f, tr_tgt, dep_tgt], pk)
+            gk = GK[:, k * Lp:(k + 1) * Lp]
             tgt = gk[0:1].astype(jnp.int32)
             c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
             c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
@@ -624,12 +682,41 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                pk, Lp)
             dep_best = jnp.minimum(dep_best, cand_d)
 
-        emit_win = want_emit & (gather_l_int(best, mn_c, fill=Lp) == lane_ids)
-        hn_c = jnp.clip(hnext, 0, Lp - 1)
-        gwin = gather_rows_sg([best.astype(jnp.float32),
-                               dep_best.astype(jnp.float32)], hn_c)
-        tr_win = want_tr & (gwin[0:1].astype(jnp.int32) == lane_ids)
-        dep_win = want_dep & (gwin[1:2].astype(jnp.int32) == lane_ids)
+        # the emitted vehicle's ancillary mass: value veh_len, gradient of
+        # the source lane's flux capacitor (the reference's nv.a trick,
+        # conversion.py:62; scan model dmath.grad_carrier). The one-hot
+        # gather is exact, so the value stays exactly veh_len while the
+        # matmul transpose routes the cotangent back into cap.
+        emit_carrier = veh_len + cap_val - jax.lax.stop_gradient(cap_val)
+        has_ins = best < Lp
+        src = jnp.clip(best, 0, Lp - 1)
+        dep_has = dep_best < Lp
+        sdep = jnp.clip(dep_best, 0, Lp - 1)
+        # EVERY post-arbitration gather (win verdicts at mnext/hnext,
+        # deposit fields at sdep, insert fields at src) through ONE
+        # [Lp, 4Lp] one-hot: a stop-grad matmul for the discrete rows
+        # (verdicts, lengths, cursor, the R route id rows — their
+        # cotangent chains terminate at constants or ints) and one
+        # differentiable matmul for the float state rows
+        oh4 = oh_multi([mnext_t, hnext, sdep, src])
+        Gsg = jax.lax.stop_gradient(jnp.dot(
+            jnp.concatenate([best.astype(jnp.float32),
+                             dep_best.astype(jnp.float32), cn["is_macro"],
+                             cn["length"], ridx_h.astype(jnp.float32),
+                             route_h.astype(jnp.float32)], axis=0),
+            oh4, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+        Gdf = jnp.dot(
+            jnp.concatenate([hv_pos, hv_vel, hv_a, u_last, emit_carrier],
+                            axis=0), oh4,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        b_mn, b_hn = slice(0, Lp), slice(Lp, 2 * Lp)
+        b_dep, b_src = slice(2 * Lp, 3 * Lp), slice(3 * Lp, 4 * Lp)
+        emit_win = want_emit & (Gsg[0:1, b_mn].astype(jnp.int32) ==
+                                lane_ids)
+        tr_win = want_tr & (Gsg[0:1, b_hn].astype(jnp.int32) == lane_ids)
+        dep_win = want_dep & (Gsg[1:2, b_hn].astype(jnp.int32) == lane_ids)
 
         # removals
         remove = exit_none | dep_win | tr_win
@@ -640,72 +727,38 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             cap_val)
         cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
 
-        # inserts: ALL per-src fields (head state, 6 params at the pre-
-        # removal head slot, cursor, route rows) in ONE [14+R, Lp] matmul
-        has_ins = best < Lp
-        src = jnp.clip(best, 0, Lp - 1)
-        oh_prev_head = head_oh(count + remove.astype(jnp.int32))
-        # the emitted vehicle's ancillary mass: value veh_len, gradient of
-        # the source lane's flux capacitor (the reference's nv.a trick,
-        # conversion.py:62; scan model dmath.grad_carrier). The one-hot
-        # gather is exact, so the value stays exactly veh_len while the
-        # matmul transpose routes the cotangent back into cap.
-        emit_carrier = veh_len + cap_val - jax.lax.stop_gradient(cap_val)
-        # one shared one-hot; the discrete/constant rows (flags, lengths,
-        # cursor, IDM params, the R route id rows) go through a
-        # stop-gradient matmul — their cotangent chains terminate at
-        # constants or ints, so transposing them in the backward was pure
-        # waste (32 of the 46 rows here are route ids)
-        oh_src = oh_l(src)
-        gsg = gather_rows_sg(
-            [cn["is_macro"], cn["length"], ridx_h.astype(jnp.float32)] +
-            [pick_v(arrp, oh_prev_head)
-             for arrp in (p_amax, p_apref, p_vt, p_ms, p_tp, p_len)] +
-            [route_h.astype(jnp.float32)], src, oh=oh_src)
-        gdf = gather_rows([hv_pos, u_last, hv_vel, hv_a, emit_carrier],
-                          src, oh=oh_src)
-        src_is_macro = gsg[0:1] > 0.5
+        # inserts: all per-src fields ride the ``b_src`` block
+        src_is_macro = Gsg[2:3, b_src] > 0.5
         is_emit_d = has_ins & src_is_macro
-        new_pos_d = jnp.where(is_emit_d, 0.0, gdf[0:1] - gsg[1:2])
-        new_vel_d = jnp.where(is_emit_d, gdf[1:2], gdf[2:3])
-        new_a_d = jnp.where(is_emit_d, gdf[4:5], gdf[3:4])
-        newp = {}
-        for i, name in enumerate(("accel_max", "accel_pref", "target_speed",
-                                  "min_space", "time_pref", "length")):
-            newp[name] = jnp.where(is_emit_d, dflt[name], gsg[3 + i: 4 + i])
+        new_pos_d = jnp.where(is_emit_d, 0.0,
+                              Gdf[0:1, b_src] - Gsg[3:4, b_src])
+        new_vel_d = jnp.where(is_emit_d, Gdf[3:4, b_src], Gdf[1:2, b_src])
+        new_a_d = jnp.where(is_emit_d, Gdf[4:5, b_src], Gdf[2:3, b_src])
         # route: emission pops dest pool; transfer carries src head route
         ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
                 == (cursor % P_emit)[None]).astype(jnp.float32))
         pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
                              axis=0)  # [R, Lp]
-        src_route = gsg[9:]  # [R, Lp]
+        src_route = Gsg[5:, b_src]  # [R, Lp]
         new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
             jnp.int32)
         new_ridx_d = jnp.where(
-            is_emit_d, 0, gsg[2:3].astype(jnp.int32) + 1).astype(jnp.int32)
+            is_emit_d, 0, Gsg[4:5, b_src].astype(jnp.int32) + 1).astype(
+            jnp.int32)
 
         hm = has_ins
         pos = tail_insert(pos, new_pos_d[0], hm)
         vel = tail_insert(vel, new_vel_d[0], hm)
         av = tail_insert(av, new_a_d[0], hm)
-        p_amax = tail_insert(p_amax, newp["accel_max"][0], hm)
-        p_apref = tail_insert(p_apref, newp["accel_pref"][0], hm)
-        p_vt = tail_insert(p_vt, newp["target_speed"][0], hm)
-        p_ms = tail_insert(p_ms, newp["min_space"][0], hm)
-        p_tp = tail_insert(p_tp, newp["time_pref"][0], hm)
-        p_len = tail_insert(p_len, newp["length"][0], hm)
         route = jnp.where(hm[None], jnp.concatenate(
             [new_route_d[None], route[:-1]], axis=0), route)
         ridx = tail_insert(ridx, new_ridx_d[0], hm)
         count = count + hm.astype(jnp.int32)
         cursor = cursor + is_emit_d.astype(jnp.int32)
 
-        # micro -> macro deposits
-        dep_has = dep_best < Lp
-        sdep = jnp.clip(dep_best, 0, Lp - 1)
-        gd = gather_rows([hv_pos, cn["length"], hv_len, hv_a, hv_vel], sdep)
-        v_head = gd[0:1] - gd[1:2]
-        v_tail = v_head - gd[2:3]
+        # micro -> macro deposits (fields ride the ``b_dep`` block)
+        v_head = Gdf[0:1, b_dep] - Gsg[3:4, b_dep]
+        v_tail = v_head - veh_len
         # Mosaic requires integer iota; cast after
         cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, Lp), 0).astype(
             jnp.float32)
@@ -715,13 +768,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
               dep_has & (cn["cell_len"] > v_tail))
         max_head = jnp.maximum(c_head, v_head)
         min_tail = jnp.minimum(c_tail, v_tail)
-        overlap = cn["cell_len"] + gd[2:3] - (max_head - min_tail)
-        add_r = (gd[3:4] / jax.lax.stop_gradient(gd[2:3]) *
-                 (overlap / cn["cell_len"]))
+        overlap = cn["cell_len"] + veh_len - (max_head - min_tail)
+        add_r = (Gdf[2:3, b_dep] / veh_len * (overlap / cn["cell_len"]))
         n_r = r + add_r
         n_r = n_r - jax.lax.stop_gradient(n_r - jnp.clip(n_r, 1e-5,
                                                          1.0 - 1e-5))
-        dep_u = gd[4:5]
+        dep_u = Gdf[1:2, b_dep]
         r = jnp.where(ov, n_r, r)
         y = jnp.where(ov, arz.compute_y(n_r, dep_u, u_max), y)
 
@@ -764,9 +816,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
         queue = ep_sum(q_lane * q_lane * cn["lane_mask"], cn) * dt
 
-        carry = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
-                 p_len, count, route, ridx, cap, inj_left, cursor, ss_tot,
-                 ss_cnt, sg_tot, sg_cnt)
+        carry = (r, y, pos, vel, av, count, route, ridx, cap, inj_left,
+                 cursor, ss_tot, ss_cnt, sg_tot, sg_cnt)
         f32sum = lambda m: jnp.sum(m.astype(jnp.float32))
         ev = jnp.stack([f32sum(im), f32sum(is_emit_d),
                         f32sum(exit_none | dep_win),
@@ -784,12 +835,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             ("pos", (Vp, Lp), jnp.float32),
             ("vel", (Vp, Lp), jnp.float32),
             ("av", (Vp, Lp), jnp.float32),
-            ("p_amax", (Vp, Lp), jnp.float32),
-            ("p_apref", (Vp, Lp), jnp.float32),
-            ("p_vt", (Vp, Lp), jnp.float32),
-            ("p_ms", (Vp, Lp), jnp.float32),
-            ("p_tp", (Vp, Lp), jnp.float32),
-            ("p_len", (Vp, Lp), jnp.float32),
             ("count", (1, Lp), jnp.int32),
             ("route", (Vp, R, Lp), jnp.int32),
             ("ridx", (Vp, Lp), jnp.int32),
@@ -798,30 +843,29 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             ("cursor", (1, Lp), jnp.int32),
             ("rms", (4, Bp) if packed else (1, 4), jnp.float32))
     NT = len(TRAJ)
+    NSTATE = NT - 1  # carry comps before the packed rms row
     # differentiated comps: r, y, pos, vel, av (the ancillary gradient
     # carrier), cap (flux capacitor) and the rms row. Int containers carry
     # no cotangent (their float uses are comparisons / one-hot
-    # construction), and the 6 IDM param arrays are action-independent —
-    # inserts write constants or copies of constants — so their cotangent
-    # chains terminate at constants and are elided from the backward.
-    FDIFF = (0, 1, 2, 3, 4, 14, 17)
+    # construction).
+    FDIFF = (0, 1, 2, 3, 4, 8, 11)
     n_const = len(const_names)
 
     def pack(carry):
-        comps = list(carry[:17])
+        comps = list(carry[:NSTATE])
         if packed:
-            comps.append(jnp.concatenate(carry[17:], axis=0))  # (4, Bp)
+            comps.append(jnp.concatenate(carry[NSTATE:], axis=0))  # (4, Bp)
         else:
-            comps.append(jnp.stack(carry[17:]).reshape(1, 4))
+            comps.append(jnp.stack(carry[NSTATE:]).reshape(1, 4))
         return tuple(comps)
 
     def unpack(comps):
-        rms = comps[17]
+        rms = comps[NSTATE]
         if packed:
-            return tuple(comps[:17]) + (rms[0:1], rms[1:2], rms[2:3],
-                                        rms[3:4])
-        return tuple(comps[:17]) + (rms[0, 0], rms[0, 1], rms[0, 2],
-                                    rms[0, 3])
+            return tuple(comps[:NSTATE]) + (rms[0:1], rms[1:2], rms[2:3],
+                                            rms[3:4])
+        return tuple(comps[:NSTATE]) + (rms[0, 0], rms[0, 1], rms[0, 2],
+                                        rms[0, 3])
 
     def carry0(cn):
         zf = lambda *s: jnp.zeros(s, jnp.float32)
@@ -831,12 +875,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rms0 = ((zf(1, Bp),) * 4 if packed else
                 (jnp.zeros(()),) * 4)
         return (zf(Cp, Lp), zf(Cp, Lp), zf(Vp, Lp), zf(Vp, Lp), zf(Vp, Lp),
-                jnp.full((Vp, Lp), dflt["accel_max"]),
-                jnp.full((Vp, Lp), dflt["accel_pref"]),
-                jnp.full((Vp, Lp), dflt["target_speed"]),
-                jnp.full((Vp, Lp), dflt["min_space"]),
-                jnp.full((Vp, Lp), dflt["time_pref"]),
-                jnp.full((Vp, Lp), dflt["length"]),
                 zi(1, Lp), jnp.full((Vp, R, Lp), -1, jnp.int32),
                 zi(Vp, Lp), zf(K, Lp), inj_left0, zi(1, Lp)) + rms0
 
@@ -857,27 +895,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     QW = Bp if packed else 1  # width of the queue/reward outputs
 
     # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
-    def _prng_rand_row(seed_ref, t):
-        """Per-step injection uniforms drawn ON-CHIP (pltpu PRNG), seeded
-        by (episode seed, t) so the reverse-grid backward regenerates the
-        exact same draws. Replaces the [T, L] pre-drawn HBM stream; the
-        draw ORDER differs from the jax.random path, so parity vs the scan
-        env is in-distribution, not per-draw (use the default pre-drawn
-        mode as the parity oracle)."""
-        pltpu.prng_seed(seed_ref[0, 0], t)
-        bits = pltpu.prng_random_bits((1, Lp))
-        # bits are SIGNED int32: mask to the low 23 bits (an arithmetic
-        # >> would sign-extend and yield negative "uniforms" that always
-        # pass the rand < incoming injection test)
-        return (jnp.bitwise_and(bits, (1 << 23) - 1).astype(jnp.float32) *
-                (1.0 / (1 << 23)))
-
     def make_fwd_kernel(save_traj):
         def fwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
                        inj_ref, pool_ref, *rest):
-            if inkernel_prng:
-                seed_ref = rest[0]
-                rest = rest[1:]
             cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
             rest = rest[n_const:]
             qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
@@ -897,12 +917,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             if save_traj:
                 for tref, val in zip(traj_refs, comps):
                     tref[:] = val[None]
-            rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
-                        else rand_ref[0])
             new_carry, queue, ev, walk = step(unpack(comps), t,
                                               action_ref[:],
                                               sched_ref[0], mnext_ref[0],
-                                              mprev_ref[0], rand_row,
+                                              mprev_ref[0], rand_ref[0],
                                               inj_ref[:], pool_ref[:], cn,
                                               early_exit=W >= 8)
             for ref, val in zip(scratch, pack(new_carry)):
@@ -920,7 +938,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return fwd_kernel
 
     def run_forward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                    pool_p, seed_p, save_traj):
+                    pool_p, save_traj):
         out_shape = [jax.ShapeDtypeStruct((1, QW), jnp.float32),
                      jax.ShapeDtypeStruct((T, 1, QW), jnp.float32),
                      jax.ShapeDtypeStruct((T, 1, 8), jnp.float32)]
@@ -933,15 +951,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             out_specs.append(t_spec((2, Lp)))
             out_shape.append(jax.ShapeDtypeStruct((T, 1, Lp), jnp.float32))
             out_specs.append(t_spec((1, Lp)))
-        seed_spec = [full_spec((1, 1))] if inkernel_prng else []
-        seed_arg = (seed_p,) if inkernel_prng else ()
         return pl.pallas_call(
             make_fwd_kernel(save_traj),
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), t_spec((1, Lp)),
                       t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp)),
                       full_spec((P, R, Lp)), full_spec((P_emit, R, Lp))] +
-                     seed_spec +
                      [full_spec(consts[k].shape) for k in const_names],
             out_specs=out_specs,
             out_shape=out_shape,
@@ -949,7 +964,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             compiler_params=seq_params,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          *seed_arg, *(consts[k] for k in const_names))
+          *(consts[k] for k in const_names))
 
     # ---- backward kernel: reverse grid, one jax.vjp of step per iter ------
     def bwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
@@ -960,15 +975,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rest = rest[NT:]
         walk_i_ref, walk_f_ref = rest[0], rest[1]
         rest = rest[2:]
-        if inkernel_prng:
-            seed_ref = rest[0]
-            rest = rest[1:]
         g_action_ref = rest[0]
         gscratch = rest[1:]
         i = pl.program_id(0)
         t = T - 1 - i
-        rand_row = (_prng_rand_row(seed_ref, t) if inkernel_prng
-                    else rand_ref[0])
+        rand_row = rand_ref[0]
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
 
         @pl.when(i == 0)
@@ -1014,10 +1025,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         g_action_ref[:] = g_action_ref[:] + d_action
 
     def run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                     pool_p, seed_p, traj, walk_i, walk_f, g_qsum,
-                     g_queues):
-        seed_spec = [full_spec((1, 1))] if inkernel_prng else []
-        seed_arg = (seed_p,) if inkernel_prng else ()
+                     pool_p, traj, walk_i, walk_f, g_qsum, g_queues):
         return pl.pallas_call(
             bwd_kernel,
             grid=(T,),
@@ -1027,7 +1035,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                       full_spec((1, QW)), rev_spec((1, QW))] +
                      [full_spec(consts[k].shape) for k in const_names] +
                      [rev_spec(shp) for _, shp, _ in TRAJ] +
-                     [rev_spec((2, Lp)), rev_spec((1, Lp))] + seed_spec,
+                     [rev_spec((2, Lp)), rev_spec((1, Lp))],
             out_specs=full_spec((NPp, NIp)),
             out_shape=jax.ShapeDtypeStruct((NPp, NIp), jnp.float32),
             scratch_shapes=[pltpu.VMEM(TRAJ[j][1], TRAJ[j][2])
@@ -1036,7 +1044,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
           g_qsum, g_queues, *(consts[k] for k in const_names), *traj,
-          walk_i, walk_f, *seed_arg)
+          walk_i, walk_f)
 
     # ---- custom-VJP episode over padded arrays -----------------------------
     def _outs(qsum, queues, events):
@@ -1046,41 +1054,36 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     @jax.custom_vjp
     def episode(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                pool_p, seed_p):
+                pool_p):
         qsum, queues, events = run_forward(action_p, sched_p, mnext_p,
                                            mprev_p, rand_p, inj_p, pool_p,
-                                           seed_p, save_traj=False)
+                                           save_traj=False)
         return _outs(qsum, queues, events)
 
     def ep_fwd(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-               pool_p, seed_p):
+               pool_p):
         qsum, queues, events, *traj = run_forward(action_p, sched_p, mnext_p,
                                                   mprev_p, rand_p, inj_p,
-                                                  pool_p, seed_p,
-                                                  save_traj=True)
+                                                  pool_p, save_traj=True)
         return _outs(qsum, queues, events), (
             action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-            seed_p, traj)
+            traj)
 
     def ep_bwd(res, cots):
         (action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-         seed_p, traj) = res
+         traj) = res
         g_qsum, g_queues, _ = cots  # event counts carry no gradient
         traj, walk_i, walk_f = traj[:NT], traj[NT], traj[NT + 1]
         ga = run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                          pool_p, seed_p, traj, walk_i, walk_f,
+                          pool_p, traj, walk_i, walk_f,
                           jnp.reshape(g_qsum, (1, QW)),
                           jnp.reshape(g_queues, (T, 1, QW)))
-        return ga, None, None, None, None, None, None, None
+        return ga, None, None, None, None, None, None
 
     episode.defvjp(ep_fwd, ep_bwd)
 
     def fn(action2d, schedule, mnext, mprev, rand, inj_routes,
-           emit_routes, with_events: bool = False, rng_seed=None):
-        if inkernel_prng:
-            assert rng_seed is not None, \
-                "inkernel_prng kernels need rng_seed (the [T, L] rand " \
-                "input is ignored)"
+           emit_routes, with_events: bool = False):
         action_p = jnp.zeros((NPp, NIp), jnp.float32).at[
             :n_phases, :n_inter].set(jnp.asarray(action2d))
         pad_t = lambda x, fill: jnp.pad(
@@ -1092,13 +1095,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pool_p = jnp.pad(
             jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
-        seed_p = (jnp.asarray(rng_seed, jnp.int32).reshape(1, 1)
-                  if rng_seed is not None else jnp.zeros((1, 1), jnp.int32))
         qsum, queues, events = episode(
             action_p, pad_t(schedule.astype(jnp.float32), 0.0),
             pad_t(mnext.astype(jnp.int32), -1),
             pad_t(mprev.astype(jnp.int32), -1),
-            pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p, seed_p)
+            pad_t(rand.astype(jnp.float32), 2.0), inj_p, pool_p)
         if packed:
             # per-episode rewards [B] and queue curves [T, B]
             qsum, queues = qsum[:B_ep], queues[:, :B_ep]
@@ -1129,8 +1130,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                            pad_t(mnext.astype(jnp.int32), -1),
                            pad_t(mprev.astype(jnp.int32), -1),
                            pad_t(rand.astype(jnp.float32), 2.0), inj_p,
-                           pool_p, jnp.zeros((1, 1), jnp.int32),
-                           save_traj=True)
+                           pool_p, save_traj=True)
         qsum, queues, events = outs[0], outs[1], outs[2]
         traj = {name: arr for (name, _, _), arr in zip(TRAJ, outs[3:])}
         traj["queues"] = queues[:, 0, 0]
