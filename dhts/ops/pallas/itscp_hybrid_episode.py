@@ -73,7 +73,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                              P_emit: int, differentiable: bool = False, *,
                              window: int | None = None,
                              interpret: bool | None = None,
-                             episodes: int = 1, ep_of_lane=None):
+                             episodes: int = 1, ep_of_lane=None,
+                             _ablate: tuple = ()):
     """Build the fused differentiable episode for a (possibly) hybrid scene.
 
     Returns ``fn(action2d, schedule[T,L], mnext[T,L], mprev[T,L],
@@ -188,16 +189,32 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         ep_pick_np = np.zeros((Lp, Bp), np.float32)
         ep_pick_np[np.arange(L), epl] = 1.0
 
+    # The K predecessor rows laid side by side as ONE [1, K*Lp] row: the
+    # arbitration one-hot is built from this host-side constant because an
+    # in-kernel concat of [K, Lp] sublane slices hits Mosaic's
+    # "result/input offset mismatch on non-concat dimension" (slices at
+    # sublane offset k>0 cannot be concatenated along lanes).
+    prev_cat = prev_k.reshape(1, K * Lp).copy()
+
     consts = dict(lane_mask=lane_mask, is_macro=is_macro, length=length_row,
                   cell_len=cell_len, coef=coef, approaching=approaching,
                   is_we=is_we, has_prev=has_prev, num_prev=num_prev,
                   num_next=num_next, prev0=prev0, next0=next0,
-                  next_k=next_k, prev_k=prev_k, cmask=cmask,
+                  next_k=next_k, prev_k=prev_k, prev_cat=prev_cat,
+                  cmask=cmask,
                   first_pick=first_pick, last_pick=last_pick,
                   inter_pick=inter_pick, prog=prog_tab)
     if packed:
         consts["ep_pick"] = ep_pick_np
         consts["ep_pick_t"] = ep_pick_np.T.copy()
+    if _ablate:
+        # Profiling rig only: a resident [Lp, 4Lp] block-identity used to
+        # stub one-hot BUILDS named in ``_ablate`` (keeps every matmul's
+        # shape and VMEM read traffic, removes the iota-compare
+        # construction). Results are numerically WRONG — the rig exists
+        # purely to attribute per-family build cost on hardware.
+        consts["dummy_oh"] = np.tile(np.eye(Lp, dtype=np.float32),
+                                     (1, max(4, W, K)))
     const_names = sorted(consts.keys())
 
     def ep_sum(row, cn):
@@ -229,6 +246,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return (jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0) ==
                 idx_row).astype(jnp.float32)
 
+    def oh_cat(idx_cat):
+        """[Lp, M*Lp] one-hot blocks of an already-concatenated [1, M*Lp]
+        index row (one iota compare; block m's columns match
+        ``oh_l(idx_cat[:, m*Lp:(m+1)*Lp])`` exactly)."""
+        return (jax.lax.broadcasted_iota(
+            jnp.int32, (Lp, idx_cat.shape[1]), 0) == idx_cat).astype(
+            jnp.float32)
+
     def oh_multi(idx_rows):
         """[Lp, M*Lp] horizontal concat of the M one-hot blocks of M
         [1, Lp] index rows, built with ONE iota compare instead of M —
@@ -236,9 +261,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         block's columns match :func:`oh_l` exactly (invalid ids -> zero
         columns), so sliced results are bit-identical to per-index
         gathers."""
-        idx = jnp.concatenate(idx_rows, axis=1)
-        return (jax.lax.broadcasted_iota(
-            jnp.int32, (Lp, idx.shape[1]), 0) == idx).astype(jnp.float32)
+        return oh_cat(jnp.concatenate(idx_rows, axis=1))
 
     def gather_rows(rows, idx_row, oh=None):
         """Gather many [*, Lp] rows at the SAME lane index in one MXU pass:
@@ -295,7 +318,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # =====================================================================
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
-             walk_saved=None, walk_saved_f=None):
+             walk_saved=None, walk_saved_f=None, head_saved=None):
         # Per-vehicle IDM parameters are NOT carried: every vehicle in the
         # ITSCP scene is created with the same ``dflt`` values (injection
         # and emission both use default_micro_vehicle semantics,
@@ -341,9 +364,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pos = tail_insert(pos, jnp.zeros((Lp,)), im)
         vel = tail_insert(vel, jnp.zeros((Lp,)), im)
         av = tail_insert(av, jnp.full((Lp,), veh_len), im)
-        route = jnp.where(im[None], jnp.concatenate(
-            [new_route[None], route[:-1]], axis=0), route)
-        ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
+        if head_saved is None:
+            route = jnp.where(im[None], jnp.concatenate(
+                [new_route[None], route[:-1]], axis=0), route)
+            ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
         count = count + im.astype(jnp.int32)
         inj_left = inj_left - im.astype(jnp.int32)
 
@@ -358,7 +382,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # ONE wide gather for all three boundary index rows (adjp, adjn,
         # mprev): one iota build + one matmul; each sliced block is
         # bit-identical to the former per-index gathers
-        ohb = oh_multi([adjp, adjn, mprev_t])
+        ohb = (cn["dummy_oh"][:, :3 * Lp] if "ohb" in _ablate else
+               oh_multi([adjp, adjn, mprev_t]))
         gb = jnp.dot(
             jnp.concatenate([cn["is_macro"], r_last, u_last, r_first,
                              u_first, sig], axis=0), ohb,
@@ -391,8 +416,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         hv_pos = pick_v(pos, ohv_h)
         hv_vel = pick_v(vel, ohv_h)
         hv_a = pick_v(av, ohv_h)
-        route_h = pick_route(route, ohv_h)  # [R, Lp]
-        ridx_h = pick_v(ridx.astype(jnp.float32), ohv_h).astype(jnp.int32)
+        if head_saved is None:
+            route_h = pick_route(route, ohv_h)  # [R, Lp]
+            ridx_h = pick_v(ridx.astype(jnp.float32),
+                            ohv_h).astype(jnp.int32)
+        else:
+            # backward replay: the head vehicle's route row and route index
+            # were saved per step by the forward (they are discrete and
+            # carry no gradient), so the [Vp, R, Lp] route container is
+            # never materialized in the backward at all
+            route_h = head_saved[0].astype(jnp.float32)
+            ridx_h = head_saved[1]
         h_exists = count > 0
 
         count_row = count.astype(jnp.float32)
@@ -434,7 +468,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             j = ridx_h + 1 + o
             wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
             gw = gather_rows_sg([cn["is_macro"], count_row, cn["length"]],
-                                wl)
+                                wl,
+                                oh=(cn["dummy_oh"][:, :Lp]
+                                    if "walk" in _ablate else None))
             return walk_latch(wl, gw, done, found, wstar, cdel_st,
                               cur_delta)
 
@@ -504,8 +540,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
             wl_cat = ent[:, 2 * Lp:]  # [1, W*Lp]
             next_l = wl_cat[:, :Lp]
-            ohw = (jax.lax.broadcasted_iota(
-                jnp.int32, (Lp, W * Lp), 0) == wl_cat).astype(jnp.float32)
+            ohw = (cn["dummy_oh"][:, :W * Lp] if "walk" in _ablate else
+                   oh_cat(wl_cat))
             GW = jax.lax.stop_gradient(jnp.dot(
                 jnp.concatenate([cn["is_macro"], count_row, cn["length"]],
                                 axis=0), ohw,
@@ -517,8 +553,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                 GW[:, o * Lp:(o + 1) * Lp], *st)
             done, found, wstar, cdel_st, cur_delta = st
         # leader tail fields + the 3 signal lookups in ONE wide gather
-        ohg = oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
-                        next_l])  # [Lp, 4Lp]
+        ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
+               oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
+                         next_l]))  # [Lp, 4Lp]
         gts = jnp.dot(jnp.concatenate([pos[:1], vel[:1], sig], axis=0),
                       ohg, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -575,13 +612,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         ul = jnp.concatenate([bl_u, u], axis=0)
         rr_ = jnp.concatenate([r, br_r], axis=0)
         ur_ = jnp.concatenate([u, br_u], axis=0)
-        sol = arz.riemann_solve(rl, yl, ul, rr_, ur_, u_max)
-        # CFL diagnostic, same plateau-masked definition as the scan path
-        # (godunov_step max over interfaces; micro lanes excluded)
-        max_wave = jnp.max(jnp.maximum(jnp.abs(sol.speed0),
-                                       jnp.abs(sol.speed1)) * cn["is_macro"])
-        fr = sol.r0 * sol.u0
-        fy = sol.y0 * sol.u0
+        if "riemann" in _ablate:  # profiling stub: linear upwind flux
+            max_wave = jnp.max(jnp.abs(ul) * cn["is_macro"])
+            fr = rl * ul
+            fy = yl * ul
+        else:
+            sol = arz.riemann_solve(rl, yl, ul, rr_, ur_, u_max)
+            # CFL diagnostic, same plateau-masked definition as the scan
+            # path (godunov_step max over interfaces; micro excluded)
+            max_wave = jnp.max(jnp.maximum(
+                jnp.abs(sol.speed0), jnp.abs(sol.speed1)) * cn["is_macro"])
+            fr = sol.r0 * sol.u0
+            fy = sol.y0 * sol.u0
         new_r = jnp.where(cn["cmask"] > 0, r + (fr[:-1] - fr[1:]) * cn["coef"],
                           r)
         new_y = jnp.where(cn["cmask"] > 0, y + (fy[:-1] - fy[1:]) * cn["coef"],
@@ -601,10 +643,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         coll = gap < 0.0
         gap = jnp.maximum(jnp.where(coll, 0.0, gap), idm.POSITION_DELTA_EPS)
         dv = jnp.where(coll, 0.0, dv)
-        res = idm.idm_acceleration(dflt["accel_max"], dflt["accel_pref"],
-                                   vel, dflt["target_speed"], gap, dv,
-                                   dflt["min_space"], dflt["time_pref"], dt)
-        acc = jnp.where(active, res.acceleration, 0.0)
+        if "idm" in _ablate:  # profiling stub: constant relaxation
+            acc = jnp.where(active, -0.1 * dv + 0.01 * gap, 0.0)
+        else:
+            res = idm.idm_acceleration(
+                dflt["accel_max"], dflt["accel_pref"], vel,
+                dflt["target_speed"], gap, dv, dflt["min_space"],
+                dflt["time_pref"], dt)
+            acc = jnp.where(active, res.acceleration, 0.0)
         pos = jnp.where(active, pos + dt * vel, pos)
         vel = jnp.where(active, vel + dt * acc, vel)
 
@@ -625,7 +671,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # destination probes for BOTH event families (macro->micro
         # emission at mnext, head exits at hnext) in ONE gather; every
         # row only feeds event PREDICATES -> stop-gradient
-        ohmh = oh_multi([mnext_t, hnext])
+        ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
+                oh_multi([mnext_t, hnext]))
         gmh = jax.lax.stop_gradient(jnp.dot(
             jnp.concatenate([cn["is_macro"], count_row, pos[:1],
                              cn["length"]], axis=0), ohmh,
@@ -663,7 +710,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
         dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
         we_f = want_emit.astype(jnp.float32)
-        ohpk = oh_multi([cn["prev_k"][k: k + 1] for k in range(K)])
+        ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
+                oh_cat(cn["prev_cat"]))
         GK = jax.lax.stop_gradient(jnp.dot(
             jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt], axis=0),
             ohpk, preferred_element_type=jnp.float32,
@@ -698,7 +746,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # (verdicts, lengths, cursor, the R route id rows — their
         # cotangent chains terminate at constants or ints) and one
         # differentiable matmul for the float state rows
-        oh4 = oh_multi([mnext_t, hnext, sdep, src])
+        oh4 = (cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
+               oh_multi([mnext_t, hnext, sdep, src]))
         Gsg = jax.lax.stop_gradient(jnp.dot(
             jnp.concatenate([best.astype(jnp.float32),
                              dep_best.astype(jnp.float32), cn["is_macro"],
@@ -750,9 +799,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pos = tail_insert(pos, new_pos_d[0], hm)
         vel = tail_insert(vel, new_vel_d[0], hm)
         av = tail_insert(av, new_a_d[0], hm)
-        route = jnp.where(hm[None], jnp.concatenate(
-            [new_route_d[None], route[:-1]], axis=0), route)
-        ridx = tail_insert(ridx, new_ridx_d[0], hm)
+        if head_saved is None:
+            route = jnp.where(hm[None], jnp.concatenate(
+                [new_route_d[None], route[:-1]], axis=0), route)
+            ridx = tail_insert(ridx, new_ridx_d[0], hm)
         count = count + hm.astype(jnp.int32)
         cursor = cursor + is_emit_d.astype(jnp.int32)
 
@@ -825,7 +875,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         f32sum(dep_win), f32sum(remove),
                         jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
         walk_i = jnp.concatenate([found.astype(jnp.int32), wstar], axis=0)
-        return carry, queue, ev, (walk_i, cdel_st)
+        return carry, queue, ev, (walk_i, cdel_st,
+                                  route_h.astype(jnp.int32), ridx_h)
 
     # =====================================================================
     # Carry layout for grid streaming. Order matches the ``step`` carry
@@ -850,6 +901,24 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # construction).
     FDIFF = (0, 1, 2, 3, 4, 8, 11)
     n_const = len(const_names)
+
+    # Residual streaming: the backward touches the [Vp, R, Lp] route
+    # container and the [Vp, Lp] route-index plane only through the head
+    # rows, which the forward saves per step instead (EXTRA blocks) — the
+    # "slim" stream drops both planes: ~6x less residual HBM traffic at
+    # 3x3, and the per-step streamed block shrinks 64x at 9x9.
+    # ``debug_forward`` still streams the full carry ("full" mode) for the
+    # state-parity tests.
+    SLIM_IDX = tuple(j for j, (n, _, _) in enumerate(TRAJ)
+                     if n not in ("route", "ridx"))
+    FULL_IDX = tuple(range(NT))
+    # step-computed residuals appended after the carry blocks: the walk's
+    # terminating state and the head vehicle's route row / route index
+    EXTRA = (("walk_i", (2, Lp), jnp.int32),
+             ("walk_f", (1, Lp), jnp.float32),
+             ("route_h", (R, Lp), jnp.int32),
+             ("ridx_h", (1, Lp), jnp.int32))
+    NEXTRA = len(EXTRA)
 
     def pack(carry):
         comps = list(carry[:NSTATE])
@@ -895,16 +964,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     QW = Bp if packed else 1  # width of the queue/reward outputs
 
     # ---- forward kernel(s): grid=(T,), carry in scratch -------------------
-    def make_fwd_kernel(save_traj):
+    def make_fwd_kernel(save_mode):
+        # save_mode: None (plain forward), "slim" (custom-VJP residuals),
+        # "full" (debug_forward — the whole carry trajectory)
+        saved_idx = () if not save_mode else (
+            FULL_IDX if save_mode == "full" else SLIM_IDX)
+        n_extra = NEXTRA if save_mode else 0
+
         def fwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
                        inj_ref, pool_ref, *rest):
             cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
             rest = rest[n_const:]
             qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
-            ntr = NT if save_traj else 0
-            traj_refs = rest[3: 3 + ntr]
-            rest_walk = rest[3 + ntr: 3 + ntr + (2 if save_traj else 0)]
-            scratch = rest[3 + ntr + (2 if save_traj else 0):]
+            traj_refs = rest[3: 3 + len(saved_idx)]
+            extra_refs = rest[3 + len(saved_idx):
+                              3 + len(saved_idx) + n_extra]
+            scratch = rest[3 + len(saved_idx) + n_extra:]
             t = pl.program_id(0)
 
             @pl.when(t == 0)
@@ -914,23 +989,23 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 qsum_ref[:] = jnp.zeros((1, QW), jnp.float32)
 
             comps = [ref[:] for ref in scratch]
-            if save_traj:
-                for tref, val in zip(traj_refs, comps):
-                    tref[:] = val[None]
-            new_carry, queue, ev, walk = step(unpack(comps), t,
-                                              action_ref[:],
-                                              sched_ref[0], mnext_ref[0],
-                                              mprev_ref[0], rand_ref[0],
-                                              inj_ref[:], pool_ref[:], cn,
-                                              early_exit=W >= 8)
+            if save_mode:
+                for tref, j in zip(traj_refs, saved_idx):
+                    tref[:] = comps[j][None]
+            new_carry, queue, ev, extra = step(unpack(comps), t,
+                                               action_ref[:],
+                                               sched_ref[0], mnext_ref[0],
+                                               mprev_ref[0], rand_ref[0],
+                                               inj_ref[:], pool_ref[:], cn,
+                                               early_exit=W >= 8)
             for ref, val in zip(scratch, pack(new_carry)):
                 ref[:] = val
-            if save_traj:
-                # walk residuals: the backward skips the W-hop loop by
-                # replaying the saved terminating state (2 KB/step)
-                walk_i_ref, walk_f_ref = rest_walk
-                walk_i_ref[:] = walk[0][None]
-                walk_f_ref[:] = walk[1][None]
+            if save_mode:
+                # step-computed residuals: the backward skips the W-hop
+                # walk loop and the route-container picks by replaying
+                # these saved rows (a few KB/step)
+                for eref, val in zip(extra_refs, extra):
+                    eref[:] = val[None]
             queues_ref[:] = queue.reshape(1, 1, QW)
             events_ref[:] = ev[None]
             qsum_ref[:] = qsum_ref[:] + queue
@@ -938,21 +1013,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return fwd_kernel
 
     def run_forward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                    pool_p, save_traj):
+                    pool_p, save_mode):
         out_shape = [jax.ShapeDtypeStruct((1, QW), jnp.float32),
                      jax.ShapeDtypeStruct((T, 1, QW), jnp.float32),
                      jax.ShapeDtypeStruct((T, 1, 8), jnp.float32)]
         out_specs = [full_spec((1, QW)), t_spec((1, QW)), t_spec((1, 8))]
-        if save_traj:
-            for _, shp, dt_ in TRAJ:
+        if save_mode:
+            idx = FULL_IDX if save_mode == "full" else SLIM_IDX
+            for j in idx:
+                _, shp, dt_ = TRAJ[j]
                 out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
                 out_specs.append(t_spec(shp))
-            out_shape.append(jax.ShapeDtypeStruct((T, 2, Lp), jnp.int32))
-            out_specs.append(t_spec((2, Lp)))
-            out_shape.append(jax.ShapeDtypeStruct((T, 1, Lp), jnp.float32))
-            out_specs.append(t_spec((1, Lp)))
+            for _, shp, dt_ in EXTRA:
+                out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
+                out_specs.append(t_spec(shp))
         return pl.pallas_call(
-            make_fwd_kernel(save_traj),
+            make_fwd_kernel(save_mode),
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), t_spec((1, Lp)),
                       t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp)),
@@ -971,16 +1047,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                    inj_ref, pool_ref, g_qsum_ref, g_queues_ref, *rest):
         cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
         rest = rest[n_const:]
-        traj_refs = rest[:NT]
-        rest = rest[NT:]
-        walk_i_ref, walk_f_ref = rest[0], rest[1]
-        rest = rest[2:]
+        traj_refs = rest[:len(SLIM_IDX)]
+        rest = rest[len(SLIM_IDX):]
+        walk_i_ref, walk_f_ref, rh_ref, rx_ref = rest[:NEXTRA]
+        rest = rest[NEXTRA:]
         g_action_ref = rest[0]
         gscratch = rest[1:]
         i = pl.program_id(0)
         t = T - 1 - i
         rand_row = rand_ref[0]
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
+        route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
 
         @pl.when(i == 0)
         def _init():
@@ -988,7 +1065,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 ref[:] = jnp.zeros(ref.shape, ref.dtype)
             g_action_ref[:] = jnp.zeros((NPp, NIp), jnp.float32)
 
-        comps = [ref[0] for ref in traj_refs]
+        # reconstruct the TRAJ-ordered carry: slim-streamed comps from HBM,
+        # the two dropped int planes as zero placeholders (never read under
+        # head_saved replay — traced away before lowering)
+        comps = []
+        ref_it = iter(traj_refs)
+        for j, (_, shp, dt_) in enumerate(TRAJ):
+            comps.append(next(ref_it)[0] if j in SLIM_IDX
+                         else jnp.zeros(shp, dt_))
         if packed:
             gq = g_qsum_ref[:] + g_queues_ref[0]  # [1, Bp]
         else:
@@ -1003,7 +1087,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           mprev_ref[0], rand_row,
                                           inj_ref[:], pool_ref[:], cn,
                                           walk_saved=walk_i,
-                                          walk_saved_f=walk_f)
+                                          walk_saved_f=walk_f,
+                                          head_saved=(route_h_s, ridx_h_s))
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -1025,7 +1110,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         g_action_ref[:] = g_action_ref[:] + d_action
 
     def run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                     pool_p, traj, walk_i, walk_f, g_qsum, g_queues):
+                     pool_p, resid, g_qsum, g_queues):
+        # ``resid``: the slim carry blocks followed by the EXTRA blocks,
+        # in run_forward("slim") output order
         return pl.pallas_call(
             bwd_kernel,
             grid=(T,),
@@ -1034,8 +1121,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                       full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
                       full_spec((1, QW)), rev_spec((1, QW))] +
                      [full_spec(consts[k].shape) for k in const_names] +
-                     [rev_spec(shp) for _, shp, _ in TRAJ] +
-                     [rev_spec((2, Lp)), rev_spec((1, Lp))],
+                     [rev_spec(TRAJ[j][1]) for j in SLIM_IDX] +
+                     [rev_spec(shp) for _, shp, _ in EXTRA],
             out_specs=full_spec((NPp, NIp)),
             out_shape=jax.ShapeDtypeStruct((NPp, NIp), jnp.float32),
             scratch_shapes=[pltpu.VMEM(TRAJ[j][1], TRAJ[j][2])
@@ -1043,8 +1130,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             compiler_params=seq_params,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          g_qsum, g_queues, *(consts[k] for k in const_names), *traj,
-          walk_i, walk_f)
+          g_qsum, g_queues, *(consts[k] for k in const_names), *resid)
 
     # ---- custom-VJP episode over padded arrays -----------------------------
     def _outs(qsum, queues, events):
@@ -1057,25 +1143,24 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 pool_p):
         qsum, queues, events = run_forward(action_p, sched_p, mnext_p,
                                            mprev_p, rand_p, inj_p, pool_p,
-                                           save_traj=False)
+                                           save_mode=None)
         return _outs(qsum, queues, events)
 
     def ep_fwd(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
                pool_p):
-        qsum, queues, events, *traj = run_forward(action_p, sched_p, mnext_p,
-                                                  mprev_p, rand_p, inj_p,
-                                                  pool_p, save_traj=True)
+        qsum, queues, events, *resid = run_forward(
+            action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
+            save_mode="slim")
         return _outs(qsum, queues, events), (
             action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-            traj)
+            resid)
 
     def ep_bwd(res, cots):
         (action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-         traj) = res
+         resid) = res
         g_qsum, g_queues, _ = cots  # event counts carry no gradient
-        traj, walk_i, walk_f = traj[:NT], traj[NT], traj[NT + 1]
         ga = run_backward(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p,
-                          pool_p, traj, walk_i, walk_f,
+                          pool_p, resid,
                           jnp.reshape(g_qsum, (1, QW)),
                           jnp.reshape(g_queues, (T, 1, QW)))
         return ga, None, None, None, None, None, None
@@ -1130,7 +1215,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                            pad_t(mnext.astype(jnp.int32), -1),
                            pad_t(mprev.astype(jnp.int32), -1),
                            pad_t(rand.astype(jnp.float32), 2.0), inj_p,
-                           pool_p, save_traj=True)
+                           pool_p, save_mode="full")
         qsum, queues, events = outs[0], outs[1], outs[2]
         traj = {name: arr for (name, _, _), arr in zip(TRAJ, outs[3:])}
         traj["queues"] = queues[:, 0, 0]
@@ -1166,8 +1251,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 full = list(carry)
                 for j, v in zip(FDIFF, fl):
                     full[j] = v
-                new, queue, _, _ = step(unpack(full), t, a, sched, mnext,
-                                        mprev, rand, inj, pool, cnj)
+                # mirror the real backward: walk + head rows replayed from
+                # saved residuals, so their recompute cost never appears
+                new, queue, _, _ = step(
+                    unpack(full), t, a, sched, mnext, mprev, rand, inj,
+                    pool, cnj,
+                    walk_saved=jnp.zeros((2, Lp), jnp.int32),
+                    walk_saved_f=jnp.zeros((1, Lp)),
+                    head_saved=(jnp.zeros((R, Lp), jnp.int32),
+                                jnp.zeros((1, Lp), jnp.int32)))
                 out = pack(new)
                 return tuple(out[j] for j in FDIFF), queue
             _, vjp = jax.vjp(f, floats, action2d)
@@ -1190,12 +1282,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     fn.debug_forward = debug_forward
     fn.step_cost = step_cost
-    # HBM residual stream: each TRAJ block is written once by the forward
-    # and read once by the backward, per step
+    # HBM residual stream: each slim carry block + EXTRA block is written
+    # once by the forward and read once by the backward, per step
     fn.residual_bytes_per_step = int(sum(
-        int(np.prod(shp)) * np.dtype(np.int32 if dt_ == jnp.int32 else
-                                     np.float32).itemsize
-        for _, shp, dt_ in TRAJ))
+        int(np.prod(shp)) * 4
+        for shp in ([TRAJ[j][1] for j in SLIM_IDX] +
+                    [shp for _, shp, _ in EXTRA])))
     fn.geometry = dict(L=L, Lp=Lp, Cp=Cp, Vp=Vp, R=R, K=K, W=W, T=T,
                        n_phases=n_phases, n_inter=n_inter,
                        episodes=B_ep if packed else 1)
