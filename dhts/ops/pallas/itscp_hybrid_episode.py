@@ -195,6 +195,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # "result/input offset mismatch on non-concat dimension" (slices at
     # sublane offset k>0 cannot be concatenated along lanes).
     prev_cat = prev_k.reshape(1, K * Lp).copy()
+    # The arbitration one-hot is FULLY STATIC (predecessor lists are scene
+    # geometry), so build it host-side and keep it VMEM-resident instead of
+    # re-materializing an iota compare every step — gated on size so huge
+    # scenes (9x9: 16 MB) don't eat the scoped-VMEM budget.
+    hoist_ohpk = K * Lp * Lp * 4 <= 8 * 1024 * 1024
+    if hoist_ohpk:
+        ohpk_c = (np.arange(Lp, dtype=np.int32)[:, None] ==
+                  prev_cat).astype(np.float32)
 
     consts = dict(lane_mask=lane_mask, is_macro=is_macro, length=length_row,
                   cell_len=cell_len, coef=coef, approaching=approaching,
@@ -204,6 +212,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                   cmask=cmask,
                   first_pick=first_pick, last_pick=last_pick,
                   inter_pick=inter_pick, prog=prog_tab)
+    if hoist_ohpk:
+        consts["ohpk_c"] = ohpk_c
     if packed:
         consts["ep_pick"] = ep_pick_np
         consts["ep_pick_t"] = ep_pick_np.T.copy()
@@ -711,7 +721,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
         we_f = want_emit.astype(jnp.float32)
         ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
-                oh_cat(cn["prev_cat"]))
+                (cn["ohpk_c"] if hoist_ohpk else oh_cat(cn["prev_cat"])))
         GK = jax.lax.stop_gradient(jnp.dot(
             jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt], axis=0),
             ohpk, preferred_element_type=jnp.float32,
@@ -746,8 +756,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # (verdicts, lengths, cursor, the R route id rows — their
         # cotangent chains terminate at constants or ints) and one
         # differentiable matmul for the float state rows
+        # blocks 1-2 (mnext, hnext) are bit-identical to ``ohmh`` above, so
+        # reuse it and build only the [sdep, src] half (lane-axis concat of
+        # two sublane-offset-0 values — Mosaic-safe, unlike slice concats)
         oh4 = (cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
-               oh_multi([mnext_t, hnext, sdep, src]))
+               jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
         Gsg = jax.lax.stop_gradient(jnp.dot(
             jnp.concatenate([best.astype(jnp.float32),
                              dep_best.astype(jnp.float32), cn["is_macro"],
