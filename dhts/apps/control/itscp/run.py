@@ -51,7 +51,16 @@ def main(argv=None):
                    help="with --mesh: run each shard's step as fused "
                         "Pallas kernels between the summary collectives "
                         "(11x the sharded-scan per-step cost on TPU)")
+    p.add_argument("--packed", type=int, default=0, metavar="B",
+                   help="train against B scenarios PACKED side by side in "
+                        "one fused kernel instance (implies "
+                        "--fused_episode; small scenes only — measured "
+                        "1.4x aggregate at the 1x1 macro preset, slower "
+                        "than vmap at 3x3+)")
     args = p.parse_args(argv)
+    if args.packed:
+        args.fused_episode = True
+        assert not args.mesh, "--packed and --mesh are mutually exclusive"
 
     env = ItscpEnv(config=dict(
         num_intersection=args.n_intersection, num_lane=args.n_lane,
@@ -72,12 +81,20 @@ def main(argv=None):
     run_name = os.path.join(args.log_root,
                             f"{args.mode}_{int(time.time())}")
     for trial in range(args.n_trial):
-        env.reset(seed=args.seed + trial if args.seed > 0 else None)
-        trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
-                          mesh=mesh, mesh_fused=args.mesh_fused)
+        if args.packed:
+            env.reset_batch(args.packed,
+                            seed=args.seed + trial if args.seed > 0
+                            else None)
+            trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
+                              multi_scenario=True, packed=True)
+        else:
+            env.reset(seed=args.seed + trial if args.seed > 0 else None)
+            trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
+                              mesh=mesh, mesh_fused=args.mesh_fused)
         log_path = os.path.join(run_name, f"trial_{trial}")
         # reference: 1 episode per epoch; in mesh mode, one episode per
-        # data shard per epoch (the batch rides the data axis)
+        # data shard per epoch (the batch rides the data axis); packed:
+        # one episode per packed scenario per epoch
         ep_per_epoch = mesh.shape["data"] if mesh is not None else 1
         trainer.train(ep_per_epoch, args.n_episode + 1,
                       max(1, args.n_episode // 10), 1, log_path)

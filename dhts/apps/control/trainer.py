@@ -37,7 +37,7 @@ class Trainer:
 
     def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
                  render_eval=False, multi_scenario=False, mesh=None,
-                 mesh_fused=False):
+                 mesh_fused=False, packed=False):
         """``multi_scenario``: train the controller against the env's whole
         scenario batch (``env.reset_batch`` must have been called) — every
         scenario's episode, per-scenario observation and action, runs inside
@@ -55,6 +55,8 @@ class Trainer:
         self.multi_scenario = multi_scenario
         self.mesh = mesh
         assert not (mesh is not None and multi_scenario)
+        assert not (packed and not multi_scenario), \
+            "packed=True rides the scenario batch: pass multi_scenario=True"
         if multi_scenario:
             assert getattr(env, "batch_obs", None) is not None, \
                 "call env.reset_batch(B) before Trainer(multi_scenario=True)"
@@ -127,13 +129,29 @@ class Trainer:
         if multi_scenario:
             B = self.obs.shape[0]
 
-            def loss_fn(params, keys, batch_data, state0):
-                raw = jax.vmap(lambda o: self.model.apply(params, o))(
-                    self.obs)
-                actions = squash_action(raw, self.low, self.high)
-                r = jax.vmap(lambda a, d, k: soft_ep(a, d, state0, k).reward
-                             )(actions, batch_data, keys)
-                return -jnp.mean(r)
+            if packed:
+                # ONE fused kernel instance carrying all B scenarios side
+                # by side in the lane axis (env.packed_episode_fn) instead
+                # of B vmapped instances — the per-step serialization cost
+                # is paid once per pack (1.4x aggregate on small scenes).
+                # NB the packed kernel bakes the CURRENT batch_data; a
+                # later env.reset_batch() needs a new Trainer.
+                packed_run = env.packed_episode_fn()
+
+                def loss_fn(params, keys, batch_data, state0):
+                    raw = jax.vmap(lambda o: self.model.apply(params, o))(
+                        self.obs)
+                    actions = squash_action(raw, self.low, self.high)
+                    return -jnp.mean(packed_run(actions, keys).reward)
+            else:
+                def loss_fn(params, keys, batch_data, state0):
+                    raw = jax.vmap(lambda o: self.model.apply(params, o))(
+                        self.obs)
+                    actions = squash_action(raw, self.low, self.high)
+                    r = jax.vmap(
+                        lambda a, d, k: soft_ep(a, d, state0, k).reward
+                    )(actions, batch_data, keys)
+                    return -jnp.mean(r)
 
             def eval_episode(params, key, batch_data, state0):
                 raw = jax.vmap(lambda o: self.model.apply(params, o))(

@@ -389,37 +389,53 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         u_first = jnp.sum(u * cn["first_pick"], axis=0, keepdims=True)
         adjp = jnp.where(cn["num_prev"] == 1, cn["prev0"], mprev_t)
         adjn = jnp.where(cn["num_next"] == 1, cn["next0"], mnext_t)
-        # ONE wide gather for all three boundary index rows (adjp, adjn,
-        # mprev): one iota build + one matmul; each sliced block is
-        # bit-identical to the former per-index gathers
-        ohb = (cn["dummy_oh"][:, :3 * Lp] if "ohb" in _ablate else
-               oh_multi([adjp, adjn, mprev_t]))
-        gb = jnp.dot(
-            jnp.concatenate([cn["is_macro"], r_last, u_last, r_first,
-                             u_first, sig], axis=0), ohb,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        gp = gb[0:3, :Lp]
-        use_nb_l = (cn["num_prev"] > 0) & (adjp >= 0) & (gp[0:1] > 0.5)
-        hp_b = cn["has_prev"] > 0
-        gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0), incoming)
-        gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
-                         arz.compute_u_eq(incoming, u_max))
-        # prev_sig follows mprev_t, which equals adjp only on single-prev
-        # lanes -> its own gather (block 3 of gb)
-        prev_sig = jnp.where(~hp_b, 1.0,
-                             jnp.where(mprev_t < 0, 0.0,
-                                       gb[5:6, 2 * Lp:3 * Lp]))
-        bl_r = gl_r * prev_sig
-        bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
-        use_nb_r = ((cn["num_next"] > 0) & (adjn >= 0) &
-                    (gb[0:1, Lp:2 * Lp] > 0.5))
-        gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
-        gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
-        s_own = soft(sig - 0.5, 32.0) if diff else \
-            (sig > 0.5).astype(jnp.float32)
-        br_r = gr_r * s_own + (1.0 - s_own)
-        br_u = gr_u * s_own
+
+        def boundary_gather(extra_idx=None):
+            """ONE wide gather for the three boundary index rows (adjp,
+            adjn, mprev) — and, on the plain unrolled-walk forward, the W
+            walk hops fused in as extra blocks (``extra_idx`` [1, W*Lp]):
+            one iota build + one matmul for BOTH families. LHS rows 6-8
+            repeat [is_macro, count, length] so the walk slice is a
+            contiguous sublane range (a row-subset concat of slices at
+            different sublane offsets does not lower on Mosaic). Each
+            sliced block is bit-identical to the former per-family
+            gathers."""
+            idx_rows = [adjp, adjn, mprev_t]
+            lhs = [cn["is_macro"], r_last, u_last, r_first, u_first, sig]
+            if extra_idx is not None:
+                idx_rows.append(extra_idx)
+                lhs += [cn["is_macro"], count_row, cn["length"]]
+            ohb = (cn["dummy_oh"][:, :3 * Lp] if "ohb" in _ablate else
+                   oh_multi(idx_rows))
+            return jnp.dot(jnp.concatenate(lhs, axis=0), ohb,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        def boundary_rows(gb):
+            gp = gb[0:3, :Lp]
+            use_nb_l = ((cn["num_prev"] > 0) & (adjp >= 0) &
+                        (gp[0:1] > 0.5))
+            hp_b = cn["has_prev"] > 0
+            gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0),
+                             incoming)
+            gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
+                             arz.compute_u_eq(incoming, u_max))
+            # prev_sig follows mprev_t, which equals adjp only on
+            # single-prev lanes -> its own gather (block 3 of gb)
+            prev_sig = jnp.where(~hp_b, 1.0,
+                                 jnp.where(mprev_t < 0, 0.0,
+                                           gb[5:6, 2 * Lp:3 * Lp]))
+            bl_r = gl_r * prev_sig
+            bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
+            use_nb_r = ((cn["num_next"] > 0) & (adjn >= 0) &
+                        (gb[0:1, Lp:2 * Lp] > 0.5))
+            gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
+            gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
+            s_own = soft(sig - 0.5, 32.0) if diff else \
+                (sig > 0.5).astype(jnp.float32)
+            br_r = gr_r * s_own + (1.0 - s_own)
+            br_u = gr_u * s_own
+            return bl_r, bl_u, br_r, br_u
 
         # ---- micro leader search (window form of find_micro_leader)
         ohv_h = head_oh(count)
@@ -503,6 +519,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
                  jnp.full((1, Lp), -1, jnp.int32), jnp.zeros((1, Lp)), base)
+        boundary_out = None
         if walk_saved is not None:
             # backward replay: the walk's terminating state was saved as a
             # per-step residual by the forward (it is deterministic and
@@ -550,18 +567,30 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
             wl_cat = ent[:, 2 * Lp:]  # [1, W*Lp]
             next_l = wl_cat[:, :Lp]
-            ohw = (cn["dummy_oh"][:, :W * Lp] if "walk" in _ablate else
-                   oh_cat(wl_cat))
-            GW = jax.lax.stop_gradient(jnp.dot(
-                jnp.concatenate([cn["is_macro"], count_row, cn["length"]],
-                                axis=0), ohw,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
+            if _ablate and ({"walk", "ohb"} & set(_ablate)):
+                # profiling rig: keep the families separate so their
+                # stubs attribute independently
+                ohw = (cn["dummy_oh"][:, :W * Lp] if "walk" in _ablate
+                       else oh_cat(wl_cat))
+                GW = jax.lax.stop_gradient(jnp.dot(
+                    jnp.concatenate([cn["is_macro"], count_row,
+                                     cn["length"]], axis=0), ohw,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+            else:
+                # the walk's W hop-blocks ride the boundary gather: ONE
+                # build + ONE matmul for both families (rows 6-8)
+                gbw = boundary_gather(wl_cat)
+                boundary_out = boundary_rows(gbw)
+                GW = jax.lax.stop_gradient(gbw[6:9, 3 * Lp:])
             st = walk0
             for o in range(W):
                 st = walk_latch(wl_cat[:, o * Lp:(o + 1) * Lp],
                                 GW[:, o * Lp:(o + 1) * Lp], *st)
             done, found, wstar, cdel_st, cur_delta = st
+        if boundary_out is None:  # replay / early-exit / rig paths
+            boundary_out = boundary_rows(boundary_gather())
+        bl_r, bl_u, br_r, br_u = boundary_out
         # leader tail fields + the 3 signal lookups in ONE wide gather
         ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
                oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
@@ -761,18 +790,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # two sublane-offset-0 values — Mosaic-safe, unlike slice concats)
         oh4 = (cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
                jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
-        Gsg = jax.lax.stop_gradient(jnp.dot(
+        # ONE matmul for both row families; the discrete rows' slice is
+        # stop-gradient'd AFTER the dot (their cotangent is structurally
+        # zero, so the merged transpose routes the same gradient as the
+        # former two-dot form — and one dot replaces two)
+        n_sg = 5 + R
+        Gall = jnp.dot(
             jnp.concatenate([best.astype(jnp.float32),
                              dep_best.astype(jnp.float32), cn["is_macro"],
                              cn["length"], ridx_h.astype(jnp.float32),
-                             route_h.astype(jnp.float32)], axis=0),
+                             route_h.astype(jnp.float32),
+                             hv_pos, hv_vel, hv_a, u_last, emit_carrier],
+                            axis=0),
             oh4, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
-        Gdf = jnp.dot(
-            jnp.concatenate([hv_pos, hv_vel, hv_a, u_last, emit_carrier],
-                            axis=0), oh4,
-            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+        Gsg = jax.lax.stop_gradient(Gall[:n_sg])
+        Gdf = Gall[n_sg:]
         b_mn, b_hn = slice(0, Lp), slice(Lp, 2 * Lp)
         b_dep, b_src = slice(2 * Lp, 3 * Lp), slice(3 * Lp, 4 * Lp)
         emit_win = want_emit & (Gsg[0:1, b_mn].astype(jnp.int32) ==

@@ -130,6 +130,25 @@ def test_multi_scenario_training(tmp_path):
     assert np.isfinite(float(res.reward))
 
 
+def test_packed_training_matches_vmap_loss(tmp_path):
+    """Trainer(packed=True) trains through env.packed_episode_fn (one
+    fused kernel carrying all scenarios). With identical seeds, its
+    first-epoch loss must match the vmapped multi-scenario path to the
+    packing parity tolerance, and training must step finitely."""
+    cfg = dict(SMALL, mode="macro", use_fused_episode=True)
+    losses = {}
+    for packed in (False, True):
+        env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+        env.reset_batch(2, seed=5)
+        tr = Trainer(env, network_size=(16, 16), lr=3e-3, seed=0,
+                     multi_scenario=True, packed=packed)
+        hist = tr.train(1, 2, 2, 1, str(tmp_path / f"p{packed}"),
+                        verbose=False)
+        assert np.isfinite(hist).all()
+        losses[packed] = hist[0]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 def test_duration_scales_horizon_like_policy_length():
     """Reference semantics: ``duration`` only scales the horizon and the
     number of action phases (its ``_simulate`` consumes the whole
