@@ -122,3 +122,40 @@ def make_dkernel(body, example_args, diff_argnums, *, interpret=None,
     op.defvjp(op_fwd, op_bwd)
     op.body = body  # direct (non-pallas) access for tests
     return op
+
+
+def make_kernel_sg(body, example_args, *, interpret=None,
+                   vmem_limit_mb: int = 100, name: str = "sgkernel"):
+    """Wrap a WHOLLY-DISCRETE ``body`` as a single-block Pallas op with
+    stop-gradient boundaries: float inputs and outputs are detached, so AD
+    never differentiates (or re-runs) the kernel. For step phases whose
+    outputs are event decisions/ids with structurally zero cotangents —
+    a custom-vjp wrapper would pay a backward kernel launch to compute
+    zeros."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_example = jax.eval_shape(body, *example_args)
+    assert isinstance(out_example, tuple), "body must return a tuple"
+    out_shapes = [jax.ShapeDtypeStruct(o.shape, o.dtype)
+                  for o in out_example]
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+
+    def fwd_kernel(*refs):
+        ins = refs[: len(example_args)]
+        outs = refs[len(example_args):]
+        res = body(*(r[:] for r in ins))
+        for ref, val in zip(outs, res):
+            ref[:] = val
+
+    def op(*args):
+        args = tuple(jax.lax.stop_gradient(a) if _is_float(a) else a
+                     for a in args)
+        out = pl.pallas_call(
+            fwd_kernel, out_shape=out_shapes, compiler_params=params,
+            interpret=interpret)(*args)
+        return tuple(jax.lax.stop_gradient(o) if _is_float(o) else o
+                     for o in out)
+
+    op.body = body
+    return op

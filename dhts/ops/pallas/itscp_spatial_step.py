@@ -5,9 +5,7 @@ whole-episode kernel (single device only) and the explicit-collective
 spatial sharding (wrapping the ~100-XLA-op scan step, ~30x slower per
 step). This module is the composition: the scene's lane axis is sharded
 over a mesh axis, and each device runs its local share of every simulation
-step as FIVE single-block Pallas kernels with the round-1 summary
-all_gathers (``dhts/parallel/spatial.py`` layout) and two scalar ``psum``s
-between them:
+step as single-block Pallas kernels between explicit collectives:
 
 ====  =====================================================================
 A     local state -> pre-physics summary rows + injection bit   [9, l]
@@ -17,33 +15,40 @@ B     apply injection; signal-blended macro ghosts; leader walk over the
       sg-RMS partial sums
       --- psum (2 scalars) -> signal sigmoid constant ---
 C     soft/hard signal blend of the head deltas; Godunov + IDM physics;
-      flux-capacitor accumulation; post-physics summary rows  [15+2+R, l]
+      flux-capacitor accumulation; post-physics summary rows [15+3+R, l]
+      (incl. the head's next route lane, looked up locally)
       --- all_gather -> gF / gI / gRoute ---
-D     conversion: arbitration recomputed redundantly (and identically) on
-      every device from the gathered summaries, local removals / inserts /
-      deposits; is-static-RMS partial sums
+D1    LOCAL want-computation: destination probes at mnext/hnext
+      ([Lgp, 2*l] gather), want/target rows per local source
+      --- all_gather -> want rows [3, L] ---
+D2    LOCAL arbitration: each local DESTINATION scans its K static
+      predecessors over the gathered want rows ([Lgp, K*l] gather)
+      --- all_gather -> verdict rows [2, L] ---
+D3    LOCAL win verdicts at mnext/hnext, removals, inserts, deposits;
+      is-static-RMS partials; LOCAL event partials
       --- psum (2 scalars) -> queue sigmoid constant ---
 E     RMS-sharpened soft queue -> per-step local queue partial
 ====  =====================================================================
 
-Per-step queue partials are summed over the scan and psum'd ONCE per
-episode (the sums commute). Per step this is 5 kernel launches + 3
-collectives + a handful of glue ops, vs ~100+ XLA ops for the sharded scan
-step.
+Every one-hot matmul above is [Lgp, c * l_loc]: per-device FLOPs and bytes
+are O(Lg * l_loc) and shrink linearly with the shard count (round 2
+recomputed the arbitration globally on every device — an O(Lg^2)/device
+term that did not shrink). Queue partials, event partials, injection
+counts, and CFL maxima are summed over the scan and reduced ONCE per
+episode (round 2 paid 2 extra per-step collectives for them).
+
+On a 1-shard lane axis every collective is an identity, so the WHOLE step
+fuses into TWO kernels (A+B+C and D1+D2+D3+E with the RMS psums inlined)
+— 2 launches/step, zero collectives, against round 2's 5 launches + 3
+collectives.
 
 Step formulas mirror ``dhts/ops/pallas/itscp_hybrid_episode.py::step`` (the
 single-device kernel, parity-tested against the scan env and the PyTorch
 reference) with every cross-lane read routed through the gathered
-summaries — the SAME 8+1 pre / 15+2+R post rows the round-1 spatial scan
-path gathers. Reductions run over differently padded axes than the scan
+summaries. Reductions run over differently padded axes than the scan
 path, so parity vs ``make_spatial_episode`` is tight-tolerance (~1e-5),
-not bit-exact (tests/test_spatial_fused.py).
-
-Scaling caveat: the conversion *arbitration* gathers are global->global
-(one-hot [Lg, Lg] matmuls recomputed on every device), so per-device work
-has an O(Lg^2) term that does not shrink with more shards; the dominant
-physics / walk / summary terms are all O(Lg * l_loc). Vehicle ids are not
-tracked (the episode result never exposes them).
+not bit-exact (tests/test_spatial_fused.py). Vehicle ids are not tracked
+(the episode result never exposes them).
 """
 
 from __future__ import annotations
@@ -57,7 +62,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dhts.ops import arz, idm
 from dhts.ops.pallas import _compat  # noqa: F401
-from dhts.ops.pallas.dkernel import make_dkernel
+from dhts.ops.pallas.dkernel import make_dkernel, make_kernel_sg
 
 _LANE = 128
 _SUBLANE = 8
@@ -159,6 +164,13 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
     next_k_l[:, :, :l_loc] = np.asarray(spec.next_lanes).reshape(
         n_shard, l_loc, K).transpose(0, 2, 1)
     lc["next_k"] = next_k_l
+    prev_k_l = np.full((n_shard, K, lp), -1, np.int32)
+    prev_k_l[:, :, :l_loc] = prev_np.reshape(
+        n_shard, l_loc, K).transpose(0, 2, 1)
+    lc["prev_k"] = prev_k_l
+    # the K predecessor rows laid side by side as ONE [1, K*lp] row
+    # (in-kernel concat of sublane slices does not lower on Mosaic)
+    lc["prev_cat"] = prev_k_l.reshape(n_shard, 1, K * lp)
     cmask = np.zeros((n_shard, Cp, lp), np.float32)
     first_pick = np.zeros((n_shard, Cp, lp), np.float32)
     last_pick = np.zeros((n_shard, Cp, lp), np.float32)
@@ -246,6 +258,9 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         g_axis = jnp.where(gd["is_we_g"] > 0, gate(a_lane - progress, 32.0),
                            gate(progress - a_lane, 32.0))
         return jnp.where(gd["appr_g"] > 0, g_axis, 1.0)
+
+    def mean_of(part):  # part: [1,2] (sum, count) accumulated
+        return part[0, 0] / jnp.maximum(part[0, 1], 1.0)
 
     CNAMES = ("r", "y", "pos", "vel", "av", "p_amax", "p_apref", "p_vt",
               "p_ms", "p_tp", "p_len", "count", "route", "ridx", "cap",
@@ -505,11 +520,15 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             pick_v(cy["p_amax"], ohv_h), pick_v(cy["p_apref"], ohv_h),
             pick_v(cy["p_vt"], ohv_h), pick_v(cy["p_ms"], ohv_h),
             pick_v(cy["p_tp"], ohv_h)], axis=0)
-        sumI = jnp.concatenate(
-            [mnext_t,
-             pick_v(cy["ridx"].astype(jnp.float32),
-                    ohv_h).astype(jnp.int32)], axis=0)
+        ridx_h = pick_v(cy["ridx"].astype(jnp.float32),
+                        ohv_h).astype(jnp.int32)
         route_h = pick_route(cy["route"], ohv_h)
+        # the head's NEXT route lane is a local route lookup — computing
+        # it here (instead of from the gathered global route container in
+        # the conversion kernel) keeps the conversion's per-device work
+        # O(Lg * l_loc): no [R, Lg] global route pick is ever built
+        hnext = pick_r(route_h, ridx_h + 1, lp)
+        sumI = jnp.concatenate([mnext_t, ridx_h, hnext], axis=0)
         return (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h)
 
     # rows of the gathered post summary gF
@@ -517,112 +536,121 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
     F_HPOS, F_HVEL, F_HLEN, F_HA = 6, 7, 8, 9
     F_AMAX, F_APREF, F_VT, F_MS, F_TP = 10, 11, 12, 13, 14
 
-    def body_D(*args):
+    def body_D1(*args):
+        """Conversion phase 1 — LOCAL want-computation: per local source
+        lane, probe the (globally gathered) destination rows at mnext and
+        at the head's next route lane, and emit the want/target rows that
+        arbitration needs. Every one-hot here is [Lgp, 2*lp]: per-device
+        work O(Lg * l_loc)."""
         cy = carry_of(args[:N_CARRY])
-        gF, gI, gRoute, off2d, pool_routes = args[N_CARRY: N_CARRY + 5]
-        cn, gd = _consts(args[N_CARRY + 5:])
-        r, y = cy["r"], cy["y"]
-        pos, vel, av = cy["pos"], cy["vel"], cy["av"]
-        count, route, ridx = cy["count"], cy["route"], cy["ridx"]
-        cap, cursor = cy["cap"], cy["cursor"]
-        fro = lambda i: gF[i: i + 1]
-
-        # ---- global arbitration (identical on every device)
-        g_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lgp), 1)
-        real = gd["real_g"] > 0
-        count_g = fro(F_COUNT)
-        mn_g = gI[0:1]
-        ridx_g = gI[1:2]
-
-        def gatg(rows, idx):
-            return gat_sg(rows, idx, Lgp, Lgp)
-
-        gmn = gatg([gd["is_macro_g"], count_g, fro(F_TPOS), fro(F_TLEN),
-                    gd["length_g"]], mn_g)
-        next_is_micro = (gd["is_macro_g"] > 0) & (mn_g >= 0) & \
-            (gmn[0:1] < 0.5) & real
+        sumF, sumI, gF, gI = args[N_CARRY: N_CARRY + 4]
+        cn, gd = _consts(args[N_CARRY + 4:])
+        lm = cn["lane_mask"] > 0
+        mn = sumI[0:1]
+        hnext = sumI[2:3]
+        # destination probes for BOTH event families in ONE gather
+        idx2 = jnp.concatenate([mn, hnext], axis=1)  # [1, 2*lp]
+        g2 = gat_sg([gd["is_macro_g"], gF[F_COUNT:F_COUNT + 1],
+                     gF[F_TPOS:F_TPOS + 1], gF[F_TLEN:F_TLEN + 1],
+                     gd["length_g"]], idx2, Lgp, 2 * lp)
+        gmn, ghn = g2[:, :lp], g2[:, lp:]
+        next_is_micro = ((cn["is_macro"] > 0) & (mn >= 0) &
+                         (gmn[0:1] < 0.5) & lm)
         dest_count = gmn[1:2]
         free_n = jnp.where(dest_count > 0.5, gmn[2:3] - 0.5 * gmn[3:4],
                            gmn[4:5])
-        cap_val_g = fro(F_CAP)
+        cap_val = sumF[F_CAP:F_CAP + 1]
         want_emit = (next_is_micro &
-                     (jax.lax.stop_gradient(cap_val_g) >= veh_len) &
+                     (jax.lax.stop_gradient(cap_val) >= veh_len) &
                      (free_n >= veh_len) & (dest_count < V))
-
-        h_exists_g = (count_g > 0.5) & real
-        j = ridx_g + 1
-        ohr = ((jax.lax.broadcasted_iota(jnp.int32, (R, Lgp), 0) == j) &
-               (j >= 0) & (j < R)).astype(jnp.float32)
-        hnext = jnp.where(
-            (j >= 0) & (j < R),
-            jnp.sum(gRoute.astype(jnp.float32) * ohr, axis=0,
-                    keepdims=True).astype(jnp.int32), -1)
-        past_end = h_exists_g & (fro(F_HPOS) >= gd["length_g"])
-        ghn = gatg([gd["is_macro_g"], count_g], hnext)
+        h_exists = (cy["count"] > 0) & lm
+        past_end = h_exists & (sumF[F_HPOS:F_HPOS + 1] >= cn["length"])
         hn_macro = (hnext >= 0) & (ghn[0:1] > 0.5)
         hn_micro = (hnext >= 0) & ~hn_macro
         exit_none = past_end & (hnext < 0)
         want_tr = past_end & hn_micro & (ghn[1:2] < V)
-        want_dep = h_exists_g & hn_macro & (fro(F_HPOS) >
-                                            gd["length_g"] + fro(F_HLEN))
+        want_dep = h_exists & hn_macro & (
+            sumF[F_HPOS:F_HPOS + 1] > cn["length"] +
+            sumF[F_HLEN:F_HLEN + 1])
+        wrow = jnp.concatenate(
+            [want_emit.astype(jnp.float32),
+             jnp.where(want_tr, hnext, -2).astype(jnp.float32),
+             jnp.where(want_dep, hnext, -2).astype(jnp.float32)], axis=0)
+        pred = jnp.concatenate(
+            [exit_none.astype(jnp.float32), want_emit.astype(jnp.float32),
+             want_tr.astype(jnp.float32), want_dep.astype(jnp.float32)],
+            axis=0)
+        return (wrow, pred)
 
-        best = jnp.full((1, Lgp), Lgp, jnp.int32)
-        dep_best = jnp.full((1, Lgp), Lgp, jnp.int32)
-        mn_f = mn_g.astype(jnp.float32)
-        tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
-        dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
-        we_f = want_emit.astype(jnp.float32)
+    def body_D2(*args):
+        """Conversion phase 2 — LOCAL arbitration: each local DESTINATION
+        lane scans its K static predecessors over the gathered want rows
+        and latches the winning (minimum-id) source. One [Lgp, K*lp]
+        one-hot: O(Lg * l_loc) per device (the round-2 version recomputed
+        this globally on every device, an O(Lg^2) term that did not shrink
+        with shards)."""
+        gI, gW = args[0], args[1]
+        cn, gd = _consts(args[2:])
+        mn_f = gI[0:1].astype(jnp.float32)
+        g_pk = gat_sg([mn_f, gW[0:1], gW[1:2], gW[2:3]],
+                      cn["prev_cat"], Lgp, K * lp)
+        gid = cn["gid"]
+        best = jnp.full((1, lp), Lgp, jnp.int32)
+        dep_best = jnp.full((1, lp), Lgp, jnp.int32)
         for k in range(K):
-            pk = gd["prev_k_g"][k: k + 1]
+            pk = cn["prev_k"][k: k + 1]
             ok = pk >= 0
-            gk = gatg([mn_f, we_f, tr_tgt, dep_tgt], pk)
+            gk = g_pk[:, k * lp:(k + 1) * lp]
             tgt = gk[0:1].astype(jnp.int32)
-            c_emit = ok & (gk[1:2] > 0.5) & (tgt == g_ids)
-            c_tr = ok & (gk[2:3].astype(jnp.int32) == g_ids)
+            c_emit = ok & (gk[1:2] > 0.5) & (tgt == gid)
+            c_tr = ok & (gk[2:3].astype(jnp.int32) == gid)
             best = jnp.minimum(best, jnp.where(c_emit | c_tr, pk, Lgp))
             dep_best = jnp.minimum(
                 dep_best,
-                jnp.where(ok & (gk[3:4].astype(jnp.int32) == g_ids), pk,
+                jnp.where(ok & (gk[3:4].astype(jnp.int32) == gid), pk,
                           Lgp))
+        return (best, dep_best)
 
-        mn_c = jnp.clip(mn_g, 0, Lgp - 1)
-        hn_c = jnp.clip(hnext, 0, Lgp - 1)
-        bwin = gatg([best.astype(jnp.float32)], mn_c)
-        emit_win_g = want_emit & (bwin[0:1].astype(jnp.int32) == g_ids)
-        gwin = gatg([best.astype(jnp.float32),
-                     dep_best.astype(jnp.float32)], hn_c)
-        tr_win_g = want_tr & (gwin[0:1].astype(jnp.int32) == g_ids)
-        dep_win_g = want_dep & (gwin[1:2].astype(jnp.int32) == g_ids)
-        remove_g = exit_none | dep_win_g | tr_win_g
-        has_ins_g = best < Lgp
-        src_mac_g = gatg([gd["is_macro_g"]],
-                         jnp.where(has_ins_g, best, -1))
-        is_emit_g = has_ins_g & (src_mac_g[0:1] > 0.5)
-
-        # ---- slice the per-lane arbitration results to the local block
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (Lgp, lp), 0) ==
-               (off2d[0, 0] +
-                jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1))
-               ).astype(jnp.float32)
-        srows = jax.lax.stop_gradient(jnp.dot(jnp.concatenate(
-            [remove_g.astype(jnp.float32), emit_win_g.astype(jnp.float32),
-             has_ins_g.astype(jnp.float32),
-             jnp.where(has_ins_g, best, -1).astype(jnp.float32),
-             jnp.where(dep_best < Lgp, dep_best, -1).astype(jnp.float32)],
-            axis=0), sel, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
+    def body_D3(*args):
+        """Conversion phase 3 — LOCAL wins, removals, inserts, deposits.
+        Win verdicts are gathered from the all-gathered verdict rows at
+        the local mnext/hnext ([Lgp, 2*lp]); inserts/deposits gather
+        source fields from the global post-physics summary at the locally
+        arbitrated winner. Event counts are LOCAL partials (psum once per
+        episode)."""
+        cy = carry_of(args[:N_CARRY])
+        (gF, gI, gRoute, gV, pred, best, dep_best, sumI,
+         pool_routes) = args[N_CARRY: N_CARRY + 9]
+        cn, gd = _consts(args[N_CARRY + 9:])
+        r, y = cy["r"], cy["y"]
+        pos, vel, av = cy["pos"], cy["vel"], cy["av"]
+        count, route, ridx = cy["count"], cy["route"], cy["ridx"]
+        cap, cursor = cy["cap"], cy["cursor"]
         lm = cn["lane_mask"] > 0
-        remove = (srows[0:1] > 0.5) & lm
-        emit_win = (srows[1:2] > 0.5) & lm
-        has_ins = (srows[2:3] > 0.5) & lm
-        src = jnp.where(has_ins, srows[3:4].astype(jnp.int32), -1)
-        dep_src = jnp.where(lm, srows[4:5].astype(jnp.int32), -1)
+        gid = cn["gid"]
+        fro = lambda i: gF[i: i + 1]
+        mn_loc = sumI[0:1]
+        hn_loc = sumI[2:3]
+        exit_none = (pred[0:1] > 0.5) & lm
+        want_emit = (pred[1:2] > 0.5) & lm
+        want_tr = (pred[2:3] > 0.5) & lm
+        want_dep = (pred[3:4] > 0.5) & lm
+
+        # win verdicts at the local destinations, one [Lgp, 2*lp] gather
+        idx2 = jnp.concatenate([jnp.clip(mn_loc, 0, Lgp - 1),
+                                jnp.clip(hn_loc, 0, Lgp - 1)], axis=1)
+        gwin = gat_sg([gV[0:1].astype(jnp.float32),
+                       gV[1:2].astype(jnp.float32)], idx2, Lgp, 2 * lp)
+        emit_win = want_emit & (gwin[0:1, :lp].astype(jnp.int32) == gid)
+        tr_win = want_tr & (gwin[0:1, lp:].astype(jnp.int32) == gid)
+        dep_win = want_dep & (gwin[1:2, lp:].astype(jnp.int32) == gid)
+        remove = exit_none | dep_win | tr_win
+        has_ins = (best < Lgp) & lm
+        src = jnp.where(has_ins, best, -1)
+        dep_src = jnp.where((dep_best < Lgp) & lm, dep_best, -1)
 
         count = count - remove.astype(jnp.int32)
-        # capacitor decrement on the winning slot (mnext sliced locally)
-        mn_loc = gat_sg([mn_f], cn["gid"], Lgp, lp).astype(jnp.int32)
-        mn_loc = jnp.where(gat_sg([(mn_g < 0).astype(jnp.float32)],
-                                  cn["gid"], Lgp, lp) > 0.5, -1, mn_loc)
+        # capacitor decrement on the winning slot (mnext is local data)
         slot_oh = ((cn["next_k"] == mn_loc) &
                    (cn["next_k"] >= 0)).astype(jnp.float32)
         cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
@@ -630,14 +658,14 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                             jax.lax.stop_gradient(cap_val - veh_len),
                             cap_val)
         cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
-
         # ---- inserts (fields gathered from the GLOBAL post summary)
         oh_src = oh(src, Lgp, lp)
         gsg = gat_sg(
-            [gd["is_macro_g"], gd["length_g"], ridx_g.astype(jnp.float32),
+            [gd["is_macro_g"], gd["length_g"], gI[1:2].astype(jnp.float32),
              fro(F_AMAX), fro(F_APREF), fro(F_VT), fro(F_MS), fro(F_TP),
              fro(F_HLEN), gRoute.astype(jnp.float32)], src, Lgp, lp,
             prebuilt=oh_src)
+        cap_val_g = fro(F_CAP)
         emit_carrier_g = veh_len + cap_val_g - jax.lax.stop_gradient(
             cap_val_g)
         gdf = gat([fro(F_HPOS), fro(F_ULAST), fro(F_HVEL), fro(F_HA),
@@ -711,15 +739,79 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
               jnp.sum((static_speed - vel) * veh_m)).reshape(1, 1),
              (jnp.sum(cn["cmask"]) + jnp.sum(veh_m)).reshape(1, 1)],
             axis=1))
-        # global event counts (identical on every device)
-        evf = lambda m: jnp.sum((m & real).astype(jnp.float32))
+        # LOCAL event partials (psum'd ONCE per episode by the caller)
+        evf = lambda m: jnp.sum(m.astype(jnp.float32))
         ev = jax.lax.stop_gradient(jnp.concatenate(
-            [evf(is_emit_g).reshape(1, 1),
-             evf(exit_none | dep_win_g).reshape(1, 1),
-             evf(tr_win_g).reshape(1, 1)], axis=1))
+            [evf(is_emit_d).reshape(1, 1),
+             evf(exit_none | dep_win).reshape(1, 1),
+             evf(tr_win).reshape(1, 1)], axis=1))
 
         return (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
                 p_len, count, route, ridx, cap, cursor, ss_part, ev)
+
+
+    def body_D_all(*args):
+        """Single-device conversion: phases 1-3 fused in ONE kernel (the
+        all_gathers between them are identities when the mesh has one lane
+        shard, so no collective and no extra launches are needed)."""
+        comps = args[:N_CARRY]
+        sumF, sumI, route_h, pool_routes = args[N_CARRY: N_CARRY + 4]
+        consts = args[N_CARRY + 4:]
+        wrow, pred = body_D1(*comps, sumF, sumI, sumF, sumI, *consts)
+        best, dep_best = body_D2(sumI, wrow, *consts)
+        gV = jnp.concatenate([best, dep_best], axis=0)
+        return body_D3(*comps, sumF, sumI, route_h, gV, pred, best,
+                       dep_best, sumI, pool_routes, *consts)
+
+    def body_ABC(*args):
+        """Single-device composition of phases A+B+C in ONE kernel: the
+        pre-physics all_gather is an identity when the lane axis has one
+        shard (lp == Lgp), and the signal-RMS psum is a local add, so the
+        sigmoid constant is computed inline. Returns C's outputs plus the
+        B-side carry components, the injection count, and the updated
+        signal-RMS accumulator."""
+        comps = args[:N_CARRY]
+        (rand_t, sched_t, action2d, t2d, mnext_t, mprev_t, inj_routes,
+         sg_ms) = args[N_CARRY: N_CARRY + 8]
+        consts = args[N_CARRY + 8:]
+        (sumA,) = body_A(*comps, rand_t, sched_t, *consts)
+        outB = body_B(*comps, sumA, action2d, t2d, mnext_t, mprev_t,
+                      sched_t, inj_routes, *consts)
+        (pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len, count,
+         route, ridx, inj_left, bl_r, bl_u, gr_r, gr_u, sig, pd_g, sd_g,
+         red_pd, fsig, blend_f, n_inj, sg_part) = outB
+        comps2 = (comps[0], comps[1], pos, vel, av, p_amax, p_apref, p_vt,
+                  p_ms, p_tp, p_len, count, route, ridx, comps[14],
+                  inj_left, comps[16])
+        sg_ms2 = sg_ms + sg_part
+        if diff:
+            c_sig = (32.0 / jnp.maximum(jnp.abs(mean_of(sg_ms2)),
+                                        1e-6)).reshape(1, 1)
+        else:
+            c_sig = jnp.ones((1, 1))
+        outC = body_C(*comps2, bl_r, bl_u, gr_r, gr_u, sig, pd_g, sd_g,
+                      red_pd, fsig, blend_f, c_sig, mnext_t, *consts)
+        (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h) = outC
+        return (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h, av,
+                p_amax, p_apref, p_vt, p_ms, p_tp, p_len, count, route,
+                ridx, inj_left, n_inj, sg_ms2)
+
+    def body_DE(*args):
+        """Single-device composition of the conversion (phases 1-3) and
+        the queue readout in ONE kernel, the static-RMS psum inlined."""
+        comps = args[:N_CARRY]
+        sumF, sumI, route_h, pool_routes, ss_ms = args[
+            N_CARRY: N_CARRY + 5]
+        consts = args[N_CARRY + 5:]
+        outD = body_D_all(*comps, sumF, sumI, route_h, pool_routes,
+                          *consts)
+        ss_part, ev = outD[16], outD[17]
+        ss_ms2 = ss_ms + ss_part
+        c_st = (16.0 / jnp.maximum(jnp.abs(mean_of(ss_ms2)),
+                                   1e-6)).reshape(1, 1)
+        newcomps = outD[:15] + (comps[15], outD[15])
+        (queue,) = body_E(*newcomps, c_st, *consts)
+        return outD[:16] + (queue, ev, ss_ms2)
 
     def body_E(*args):
         cy = carry_of(args[:N_CARRY])
@@ -771,18 +863,43 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         (N_CARRY + 10,)
     kC = make_dkernel(body_C, ex_C, diff_C, interpret=interpret,
                       name="spatialC")
-    ex_D = ex_carry + (zf(15, Lgp), zi(2, Lgp), zi(R, Lgp), zi(1, 1),
-                       zi(P_emit, R, lp)) + tuple(ex_lc)
-    diff_D = CARRY_DIFF + (N_CARRY,)  # + gF
-    kD = make_dkernel(body_D, ex_D, diff_D, interpret=interpret,
-                      name="spatialD")
-    ex_E = ex_carry + (zf(1, 1),) + tuple(ex_lc)
-    diff_E = CARRY_DIFF + (N_CARRY,)
-    kE = make_dkernel(body_E, ex_E, diff_E, interpret=interpret,
-                      name="spatialE")
-
-    def mean_of(part):  # part: [1,2] (sum, count) accumulated
-        return part[0, 0] / jnp.maximum(part[0, 1], 1.0)
+    if n_shard > 1:
+        # owner-computes conversion: D1 (local wants) and D2 (local
+        # arbitration) are wholly discrete -> plain stop-gradient kernels
+        # (no backward launches); D3 carries the differentiable
+        # insert/deposit gathers
+        ex_D1 = ex_carry + (zf(15, lp), zi(3, lp), zf(15, Lgp),
+                            zi(3, Lgp)) + tuple(ex_lc)
+        kD1 = make_kernel_sg(body_D1, ex_D1, interpret=interpret,
+                             name="spatialD1")
+        ex_D2 = (zi(3, Lgp), zf(3, Lgp)) + tuple(ex_lc)
+        kD2 = make_kernel_sg(body_D2, ex_D2, interpret=interpret,
+                             name="spatialD2")
+        ex_D3 = ex_carry + (zf(15, Lgp), zi(3, Lgp), zi(R, Lgp),
+                            zi(2, Lgp), zf(4, lp), zi(1, lp), zi(1, lp),
+                            zi(3, lp), zi(P_emit, R, lp)) + tuple(ex_lc)
+        diff_D3 = CARRY_DIFF + (N_CARRY,)  # + gF
+        kD3 = make_dkernel(body_D3, ex_D3, diff_D3, interpret=interpret,
+                           name="spatialD3")
+        ex_E = ex_carry + (zf(1, 1),) + tuple(ex_lc)
+        diff_E = CARRY_DIFF + (N_CARRY,)
+        kE = make_dkernel(body_E, ex_E, diff_E, interpret=interpret,
+                          name="spatialE")
+    else:
+        # single lane shard: the inter-phase collectives are identities,
+        # so the WHOLE step fuses into two kernels (A+B+C and D1+D2+D3+E)
+        # — 2 launches/step instead of 5 kernels + 3 collectives
+        ex_ABC = ex_carry + (zf(1, lp), zf(1, lp), zf(NPp, NIp),
+                             zi(1, 1), zi(1, lp), zi(1, lp),
+                             zi(P_inj, R, lp), zf(1, 2)) + tuple(ex_lc)
+        diff_ABC = CARRY_DIFF + (N_CARRY + 2,)  # + action2d
+        kABC = make_dkernel(body_ABC, ex_ABC, diff_ABC,
+                            interpret=interpret, name="spatialABC")
+        ex_DE = ex_carry + (zf(15, lp), zi(3, lp), zi(R, lp),
+                            zi(P_emit, R, lp), zf(1, 2)) + tuple(ex_lc)
+        diff_DE = CARRY_DIFF + (N_CARRY,)  # + sumF
+        kDE = make_dkernel(body_DE, ex_DE, diff_DE, interpret=interpret,
+                           name="spatialDE")
 
     def local_episode(lc_loc, inj_loc, pool_loc, action2d, sched, mnextx,
                       mprevx, rand):
@@ -792,7 +909,6 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             G[k] for k in g_names)
         inj_routes = inj_loc[0]
         pool_routes = pool_loc[0]
-        off2d = (lax.axis_index(axis_name) * l_loc).reshape(1, 1)
         inj_left0 = jnp.where(
             (lc_loc["has_prev"][0] == 0) & (lc_loc["is_macro"][0] < 0.5) &
             (lc_loc["lane_mask"][0] > 0), P_inj, 0).astype(jnp.int32)
@@ -807,21 +923,23 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                   zi(1, lp), jnp.full((Vp, R, lp), -1, jnp.int32),
                   zi(Vp, lp), zf(K, lp), inj_left0, zi(1, lp))
 
-        def step(carry, inputs):
+        def pad_cols(x, fill):
+            if Lgp == L:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((x.shape[0], Lgp - L), fill, x.dtype)],
+                axis=1)
+
+        def ag(x, fill):
+            return pad_cols(lax.all_gather(x[:, :l_loc], axis_name,
+                                           axis=1, tiled=True), fill)
+
+        def step_sharded(carry, inputs):
             comps, sg_ms, ss_ms = carry
             t, sched_t, mnext_t, mprev_t, rand_t = inputs
             t2d = t.reshape(1, 1).astype(jnp.int32)
             (sumA,) = kA(*comps, rand_t, sched_t, *lc_vals)
-
-            def pad_cols(x, fill):
-                if Lgp == L:
-                    return x
-                return jnp.concatenate(
-                    [x, jnp.full((x.shape[0], Lgp - L), fill, x.dtype)],
-                    axis=1)
-
-            gA = pad_cols(lax.all_gather(sumA[:, :l_loc], axis_name, axis=1,
-                                         tiled=True), 0.0)
+            gA = ag(sumA, 0.0)
             outB = kB(*comps, gA, action2d, t2d, mnext_t, mprev_t, sched_t,
                       inj_routes, *lc_vals)
             (pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
@@ -840,17 +958,18 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                 *comps, bl_r, bl_u, gr_r, gr_u, sig, pd_g, sd_g, red_pd,
                 fsig, blend_f, c_sig, mnext_t, *lc_vals)
             comps = (r, y, pos, vel) + comps[4:14] + (cap,) + comps[15:]
-            gF = pad_cols(lax.all_gather(sumF[:, :l_loc], axis_name,
-                                         axis=1, tiled=True), 0.0)
+            gF = ag(sumF, 0.0)
             # int streams carry no cotangent; stop_gradient prunes the
             # float0 transpose paths AD would otherwise trip over
-            gI = pad_cols(lax.all_gather(
-                lax.stop_gradient(sumI)[:, :l_loc], axis_name, axis=1,
-                tiled=True), -1)
-            gR = pad_cols(lax.all_gather(
-                lax.stop_gradient(route_h)[:, :l_loc], axis_name, axis=1,
-                tiled=True), -1)
-            outD = kD(*comps, gF, gI, gR, off2d, pool_routes, *lc_vals)
+            gI = ag(lax.stop_gradient(sumI), -1)
+            gR = ag(lax.stop_gradient(route_h), -1)
+            (wrow, pred) = kD1(*comps, lax.stop_gradient(sumF), sumI, gF,
+                               gI, *lc_vals)
+            gW = ag(wrow, -2.0)
+            (best, dep_best) = kD2(gI, gW, *lc_vals)
+            gV = ag(jnp.concatenate([best, dep_best], axis=0), Lgp)
+            outD = kD3(*comps, gF, gI, gR, gV, pred, best, dep_best,
+                       sumI, pool_routes, *lc_vals)
             (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp, p_len,
              count, route, ridx, cap, cursor, ss_part, ev) = outD
             comps = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
@@ -859,20 +978,49 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             c_st = (16.0 / jnp.maximum(jnp.abs(mean_of(ss_ms)),
                                        1e-6)).reshape(1, 1)
             (queue_loc,) = kE(*comps, c_st, *lc_vals)
-            n_inj_g = lax.psum(jax.lax.stop_gradient(n_inj), axis_name)
-            mw = lax.pmax(lax.stop_gradient(max_wave[0, 0]), axis_name)
             return ((comps, sg_ms, ss_ms),
-                    (queue_loc[0, 0], n_inj_g[0, 0], ev[0, 0], ev[0, 1],
-                     mw))
+                    (queue_loc[0, 0],
+                     jax.lax.stop_gradient(n_inj)[0, 0], ev[0, 0],
+                     ev[0, 1], lax.stop_gradient(max_wave[0, 0])))
 
+        def step_single(carry, inputs):
+            # n_shard == 1: two fused kernels, zero collectives
+            comps, sg_ms, ss_ms = carry
+            t, sched_t, mnext_t, mprev_t, rand_t = inputs
+            t2d = t.reshape(1, 1).astype(jnp.int32)
+            outABC = kABC(*comps, rand_t, sched_t, action2d, t2d, mnext_t,
+                          mprev_t, inj_routes, sg_ms, *lc_vals)
+            (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h, av,
+             p_amax, p_apref, p_vt, p_ms, p_tp, p_len, count, route, ridx,
+             inj_left, n_inj, sg_ms) = outABC
+            comps = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms,
+                     p_tp, p_len, count, route, ridx, cap, inj_left,
+                     comps[16])
+            outDE = kDE(*comps, sumF, sumI, route_h, pool_routes, ss_ms,
+                        *lc_vals)
+            comps = outDE[:15] + (comps[15], outDE[15])
+            queue_loc, ev, ss_ms = outDE[16], outDE[17], outDE[18]
+            return ((comps, sg_ms, ss_ms),
+                    (queue_loc[0, 0],
+                     jax.lax.stop_gradient(n_inj)[0, 0], ev[0, 0],
+                     ev[0, 1], lax.stop_gradient(max_wave[0, 0])))
+
+        step = step_single if n_shard == 1 else step_sharded
         if config.get("remat", True):
             step = jax.checkpoint(step)
         (_, _, _), ys = lax.scan(
             step, (carry0, jnp.zeros((1, 2)), jnp.zeros((1, 2))),
             (jnp.arange(T), sched[:, 0], mnextx[:, 0], mprevx[:, 0],
              rand[:, 0]))
-        queues_loc, n_injs, emits, absorbs, mws = ys
+        queues_loc, n_injs_loc, emits_loc, absorbs_loc, mws_loc = ys
+        # event counts / injections / CFL maxima are LOCAL partials,
+        # reduced ONCE per episode (the per-step psum/pmax of round 2 cost
+        # 2 extra collectives every step)
         queues = lax.psum(queues_loc, axis_name)
+        n_injs = lax.psum(n_injs_loc, axis_name)
+        emits = lax.psum(emits_loc, axis_name)
+        absorbs = lax.psum(absorbs_loc, axis_name)
+        mws = lax.pmax(mws_loc, axis_name)
         return queues, n_injs, emits, absorbs, mws
 
     # ---- host-side data prep + shard_map wrapper ---------------------------
