@@ -160,6 +160,86 @@ def main():
         except Exception as e:
             compile_smoke = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
 
+    # ---- driver-captured extras (VERDICT r2 item 4) -----------------------
+    # serving (forward-only), the large-scene scaling table, the packed
+    # small-scene aggregate, and the sharded-fused 1-device per-step cost —
+    # previously builder-run only; each guarded so a failure can't lose the
+    # headline record
+    extras = {}
+
+    def timed(fn, *a, reps=reps):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    if not args.smoke:
+        try:  # serving: forward-only episodes, single + batched aggregate
+            fwd = jax.jit(lambda a, k: env.episode(a, True, k).reward)
+            dt1 = timed(fwd, action, key)
+            bf = jax.jit(lambda a, ks: jnp.sum(
+                jax.vmap(lambda k: env.episode(a, True, k).reward)(ks)))
+            dtb = timed(bf, action, keys)
+            extras["serving_steps_per_sec"] = round(T / dt1, 1)
+            extras["serving_batched_steps_per_sec"] = round(T * B / dtb, 1)
+        except Exception as e:
+            extras["serving_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+        for n in (5, 7, 9):  # large-scene scaling (fwd+bwd, fused kernel)
+            try:
+                envn = ItscpEnv(config=dict(cfg, num_intersection=n),
+                                schedule_fn=problem_1)
+                envn.reset()
+                onen = envn._fused_episode_one()
+                an = jnp.full((envn.action_size(),), 0.5)
+                gn = jax.jit(jax.grad(
+                    lambda a, k: -onen(a, envn.data, k).reward))
+                dtn = timed(gn, an, key, reps=3)
+                extras[f"scale_{n}x{n}_steps_per_sec"] = round(
+                    envn.num_timestep / dtn, 1)
+            except Exception as e:
+                extras[f"scale_{n}x{n}_error"] = \
+                    f"{type(e).__name__}: {str(e)[:120]}"
+
+        try:  # packed small-scene aggregate (1x1 macro preset, B episodes)
+            envp = ItscpEnv(config=dict(
+                num_intersection=1, num_lane=1, lane_length=5.0,
+                speed_limit=60.0, cell_length=5.0, policy_length=20,
+                signal_length=4, simulation_frequency=30, random_seed=3,
+                mode="macro", max_num_micro_vehicle_per_lane=10,
+                use_fused_episode=True), schedule_fn=problem_1)
+            envp.reset_batch(B, seed=3)
+            runp = envp.packed_episode_fn()
+            ap_ = jnp.full((B, envp.action_size()), 0.5)
+            kp = jax.random.split(key, B)
+            gp = jax.jit(jax.grad(
+                lambda a: -jnp.mean(runp(a, kp).reward)))
+            dtp = timed(gp, ap_, reps=5)
+            extras["packed_1x1_agg_steps_per_sec"] = round(
+                envp.num_timestep * B / dtp, 1)
+        except Exception as e:
+            extras["packed_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+        try:  # sharded-fused episode on a 1-device mesh (composition cost)
+            from jax.sharding import Mesh
+
+            from dhts.ops.pallas.itscp_spatial_step import \
+                make_fused_spatial_episode
+            eps = make_fused_spatial_episode(
+                env, Mesh(jax.devices()[:1], ("lane",)),
+                differentiable=True)
+            gs = jax.jit(jax.grad(
+                lambda a, k: -eps(a * action, k).reward))
+            dts = timed(gs, jnp.ones(()), key, reps=3)
+            extras["sharded_fused_1dev_usec_per_step"] = round(
+                dts / T * 1e6, 2)
+        except Exception as e:
+            extras["sharded_fused_error"] = \
+                f"{type(e).__name__}: {str(e)[:120]}"
+
     print(json.dumps({
         "metric": "hybrid ITSCP net sim steps/sec (fwd+bwd)",
         "value": round(steps_per_sec, 2),
@@ -171,6 +251,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "compile_smoke_5x5": compile_smoke,
         **roofline,
+        **extras,
     }))
     return 0
 
