@@ -38,9 +38,9 @@ counts, and CFL maxima are summed over the scan and reduced ONCE per
 episode (round 2 paid 2 extra per-step collectives for them).
 
 On a 1-shard lane axis every collective is an identity, so the WHOLE step
-fuses into TWO kernels (A+B+C and D1+D2+D3+E with the RMS psums inlined)
-— 2 launches/step, zero collectives, against round 2's 5 launches + 3
-collectives.
+fuses into ONE kernel (A+B+C+conversion+E with the RMS psums inlined) —
+1 launch/step (+1 for its backward), zero collectives, against round 2's
+5 launches + 3 collectives.
 
 Step formulas mirror ``dhts/ops/pallas/itscp_hybrid_episode.py::step`` (the
 single-device kernel, parity-tested against the scan env and the PyTorch
@@ -522,7 +522,10 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
             pick_v(cy["p_tp"], ohv_h)], axis=0)
         ridx_h = pick_v(cy["ridx"].astype(jnp.float32),
                         ohv_h).astype(jnp.int32)
-        route_h = pick_route(cy["route"], ohv_h)
+        # int32 on purpose: route ids are discrete, and an f32 route_h
+        # output would demand a (float0) cotangent once a downstream
+        # kernel consumes it as an integer input
+        route_h = pick_route(cy["route"], ohv_h).astype(jnp.int32)
         # the head's NEXT route lane is a local route lookup — computing
         # it here (instead of from the gathered global route container in
         # the conversion kernel) keeps the conversion's per-device work
@@ -548,12 +551,14 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         lm = cn["lane_mask"] > 0
         mn = sumI[0:1]
         hnext = sumI[2:3]
-        # destination probes for BOTH event families in ONE gather
-        idx2 = jnp.concatenate([mn, hnext], axis=1)  # [1, 2*lp]
-        g2 = gat_sg([gd["is_macro_g"], gF[F_COUNT:F_COUNT + 1],
-                     gF[F_TPOS:F_TPOS + 1], gF[F_TLEN:F_TLEN + 1],
-                     gd["length_g"]], idx2, Lgp, 2 * lp)
-        gmn, ghn = g2[:, :lp], g2[:, lp:]
+        # destination probes per family (a lane-axis concat of sumI row
+        # slices at different sublane offsets does not lower on Mosaic,
+        # so the two index rows cannot share one wide gather)
+        gmn = gat_sg([gd["is_macro_g"], gF[F_COUNT:F_COUNT + 1],
+                      gF[F_TPOS:F_TPOS + 1], gF[F_TLEN:F_TLEN + 1],
+                      gd["length_g"]], mn, Lgp, lp)
+        ghn = gat_sg([gd["is_macro_g"], gF[F_COUNT:F_COUNT + 1]], hnext,
+                     Lgp, lp)
         next_is_micro = ((cn["is_macro"] > 0) & (mn >= 0) &
                          (gmn[0:1] < 0.5) & lm)
         dest_count = gmn[1:2]
@@ -636,14 +641,17 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         want_tr = (pred[2:3] > 0.5) & lm
         want_dep = (pred[3:4] > 0.5) & lm
 
-        # win verdicts at the local destinations, one [Lgp, 2*lp] gather
-        idx2 = jnp.concatenate([jnp.clip(mn_loc, 0, Lgp - 1),
-                                jnp.clip(hn_loc, 0, Lgp - 1)], axis=1)
+        # win verdicts at the local destinations (two gathers: the index
+        # rows are sumI slices at different sublane offsets, which cannot
+        # share one lane-axis-concatenated gather on Mosaic)
+        bwin = gat_sg([gV[0:1].astype(jnp.float32)],
+                      jnp.clip(mn_loc, 0, Lgp - 1), Lgp, lp)
         gwin = gat_sg([gV[0:1].astype(jnp.float32),
-                       gV[1:2].astype(jnp.float32)], idx2, Lgp, 2 * lp)
-        emit_win = want_emit & (gwin[0:1, :lp].astype(jnp.int32) == gid)
-        tr_win = want_tr & (gwin[0:1, lp:].astype(jnp.int32) == gid)
-        dep_win = want_dep & (gwin[1:2, lp:].astype(jnp.int32) == gid)
+                       gV[1:2].astype(jnp.float32)],
+                      jnp.clip(hn_loc, 0, Lgp - 1), Lgp, lp)
+        emit_win = want_emit & (bwin[0:1].astype(jnp.int32) == gid)
+        tr_win = want_tr & (gwin[0:1].astype(jnp.int32) == gid)
+        dep_win = want_dep & (gwin[1:2].astype(jnp.int32) == gid)
         remove = exit_none | dep_win | tr_win
         has_ins = (best < Lgp) & lm
         src = jnp.where(has_ins, best, -1)
@@ -813,6 +821,27 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         (queue,) = body_E(*newcomps, c_st, *consts)
         return outD[:16] + (queue, ev, ss_ms2)
 
+    def body_STEP(*args):
+        """Single-device WHOLE step in ONE kernel (A+B+C+conversion+E):
+        on a 1-shard lane axis every collective is an identity, so one
+        launch (plus its backward) carries the entire simulation step."""
+        comps = args[:N_CARRY]
+        (rand_t, sched_t, action2d, t2d, mnext_t, mprev_t, inj_routes,
+         pool_routes, sg_ms, ss_ms) = args[N_CARRY: N_CARRY + 10]
+        consts = args[N_CARRY + 10:]
+        outABC = body_ABC(*comps, rand_t, sched_t, action2d, t2d, mnext_t,
+                          mprev_t, inj_routes, sg_ms, *consts)
+        (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h, av, p_amax,
+         p_apref, p_vt, p_ms, p_tp, p_len, count, route, ridx, inj_left,
+         n_inj, sg_ms2) = outABC
+        comps2 = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms, p_tp,
+                  p_len, count, route, ridx, cap, inj_left, comps[16])
+        outDE = body_DE(*comps2, sumF, sumI, route_h, pool_routes, ss_ms,
+                        *consts)
+        newcomps = outDE[:15] + (inj_left, outDE[15])
+        queue, ev, ss_ms2 = outDE[16], outDE[17], outDE[18]
+        return newcomps + (queue, ev, n_inj, max_wave, sg_ms2, ss_ms2)
+
     def body_E(*args):
         cy = carry_of(args[:N_CARRY])
         c_st = args[N_CARRY]
@@ -881,6 +910,8 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         diff_D3 = CARRY_DIFF + (N_CARRY,)  # + gF
         kD3 = make_dkernel(body_D3, ex_D3, diff_D3, interpret=interpret,
                            name="spatialD3")
+        conv_kernels = dict(D1=(body_D1, ex_D1), D2=(body_D2, ex_D2),
+                            D3=(body_D3, ex_D3))
         ex_E = ex_carry + (zf(1, 1),) + tuple(ex_lc)
         diff_E = CARRY_DIFF + (N_CARRY,)
         kE = make_dkernel(body_E, ex_E, diff_E, interpret=interpret,
@@ -889,17 +920,14 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         # single lane shard: the inter-phase collectives are identities,
         # so the WHOLE step fuses into two kernels (A+B+C and D1+D2+D3+E)
         # — 2 launches/step instead of 5 kernels + 3 collectives
-        ex_ABC = ex_carry + (zf(1, lp), zf(1, lp), zf(NPp, NIp),
-                             zi(1, 1), zi(1, lp), zi(1, lp),
-                             zi(P_inj, R, lp), zf(1, 2)) + tuple(ex_lc)
-        diff_ABC = CARRY_DIFF + (N_CARRY + 2,)  # + action2d
-        kABC = make_dkernel(body_ABC, ex_ABC, diff_ABC,
-                            interpret=interpret, name="spatialABC")
-        ex_DE = ex_carry + (zf(15, lp), zi(3, lp), zi(R, lp),
-                            zi(P_emit, R, lp), zf(1, 2)) + tuple(ex_lc)
-        diff_DE = CARRY_DIFF + (N_CARRY,)  # + sumF
-        kDE = make_dkernel(body_DE, ex_DE, diff_DE, interpret=interpret,
-                           name="spatialDE")
+        ex_STEP = ex_carry + (zf(1, lp), zf(1, lp), zf(NPp, NIp),
+                              zi(1, 1), zi(1, lp), zi(1, lp),
+                              zi(P_inj, R, lp), zi(P_emit, R, lp),
+                              zf(1, 2), zf(1, 2)) + tuple(ex_lc)
+        diff_STEP = CARRY_DIFF + (N_CARRY + 2,)  # + action2d
+        kSTEP = make_dkernel(body_STEP, ex_STEP, diff_STEP,
+                             interpret=interpret, name="spatialSTEP")
+        conv_kernels = dict(STEP=(body_STEP, ex_STEP))
 
     def local_episode(lc_loc, inj_loc, pool_loc, action2d, sched, mnextx,
                       mprevx, rand):
@@ -984,22 +1012,15 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                      ev[0, 1], lax.stop_gradient(max_wave[0, 0])))
 
         def step_single(carry, inputs):
-            # n_shard == 1: two fused kernels, zero collectives
+            # n_shard == 1: the WHOLE step is one fused kernel launch
             comps, sg_ms, ss_ms = carry
             t, sched_t, mnext_t, mprev_t, rand_t = inputs
             t2d = t.reshape(1, 1).astype(jnp.int32)
-            outABC = kABC(*comps, rand_t, sched_t, action2d, t2d, mnext_t,
-                          mprev_t, inj_routes, sg_ms, *lc_vals)
-            (r, y, pos, vel, cap, max_wave, sumF, sumI, route_h, av,
-             p_amax, p_apref, p_vt, p_ms, p_tp, p_len, count, route, ridx,
-             inj_left, n_inj, sg_ms) = outABC
-            comps = (r, y, pos, vel, av, p_amax, p_apref, p_vt, p_ms,
-                     p_tp, p_len, count, route, ridx, cap, inj_left,
-                     comps[16])
-            outDE = kDE(*comps, sumF, sumI, route_h, pool_routes, ss_ms,
+            out = kSTEP(*comps, rand_t, sched_t, action2d, t2d, mnext_t,
+                        mprev_t, inj_routes, pool_routes, sg_ms, ss_ms,
                         *lc_vals)
-            comps = outDE[:15] + (comps[15], outDE[15])
-            queue_loc, ev, ss_ms = outDE[16], outDE[17], outDE[18]
+            comps = out[:N_CARRY]
+            queue_loc, ev, n_inj, max_wave, sg_ms, ss_ms = out[N_CARRY:]
             return ((comps, sg_ms, ss_ms),
                     (queue_loc[0, 0],
                      jax.lax.stop_gradient(n_inj)[0, 0], ev[0, 0],
@@ -1066,6 +1087,9 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
 
     episode.geometry = dict(L=L, l_loc=l_loc, lp=lp, Lgp=Lgp, T=T, W=win,
                             n_shard=n_shard)
+    # conversion-phase bodies + example args, for per-device cost
+    # analysis (tests assert the FLOP count shrinks with the shard count)
+    episode._conv_kernels = conv_kernels
     from types import SimpleNamespace
 
     # internals for the 2-D (data, lane) train-step composition

@@ -171,3 +171,28 @@ def test_hybrid_4x4_eight_shards():
     env.reset()
     res = _check(env, 8, differentiable=True)
     assert int(res.emitted) > 0
+
+
+def test_conversion_cost_scales_with_shards():
+    """VERDICT r2 item 3's 'Done' evidence: the conversion phases'
+    per-device FLOP count must shrink with the shard count (round 2's
+    arbitration was O(Lg^2) per device — constant in n_shard). XLA cost
+    analysis of the phase BODIES (plain jnp functions): the dominant dot
+    terms are O(Lg * l_loc). The scene must be large enough that l_loc
+    clears Mosaic's 128-lane padding floor — 5x5 (400 lanes): 2 shards
+    pad to lp=256, 4 shards to lp=128."""
+    env = ItscpEnv(config=dict(HYBRID_CFG, num_intersection=5,
+                               policy_length=2), schedule_fn=problem_1)
+    env.reset()
+
+    def conv_flops(n_shard):
+        ep = make_fused_spatial_episode(env, _mesh(n_shard),
+                                        differentiable=True)
+        total = 0.0
+        for name, (body, ex) in ep._conv_kernels.items():
+            c = jax.jit(body).lower(*ex).compile().cost_analysis()
+            total += float(c.get("flops", 0.0))
+        return total
+
+    f2, f4 = conv_flops(2), conv_flops(4)
+    assert f4 < 0.7 * f2, (f2, f4)
