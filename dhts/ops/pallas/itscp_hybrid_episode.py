@@ -120,6 +120,36 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     W = R - 1 if window is None else max(1, min(int(window), R - 1))
     K = int(np.asarray(spec.next_lanes).shape[1])
 
+    # ---- banded gathers (large scenes) ------------------------------------
+    # Every boundary/conversion index row is ADJACENCY-class: its target
+    # lies within the scene's static adjacency bandwidth of the column
+    # lane (the ITSCP grid numbering is band-limited, band = 16N+7; route
+    # successors are adjacency edges, so hnext/prev_l/next_l inherit the
+    # bound, and arbitration winners are predecessors of the column). At
+    # Lp >= 512 the [Lp, M*Lp] one-hot dots dominate the step, so those
+    # gathers run as chunked block-band dots instead: per 128-column
+    # chunk, a [wt*128, M*128] window one-hot — total dot area
+    # M*wt*128*Lp instead of M*Lp^2 (2.3x less at 7x7, 3.7x at 9x9 for
+    # wt=3/5). Bit-exact: in-band indices hit the same one-hot column;
+    # out-of-band only ever occurs for sentinel-clipped no-win indices
+    # whose gathered zeros feed where-masked branches (same masking the
+    # dense path relies on for padding-lane gathers). The WALK's hop
+    # targets are o hops down a route (unbounded) and stay dense.
+    _nl = np.asarray(spec.next_lanes)
+    _pl = np.asarray(spec.prev_lanes)
+    _ids = np.arange(L)[:, None]
+    band = 0
+    for _adj in (_nl, _pl):
+        if _adj.size:
+            band = max(band, int(np.abs(
+                np.where(_adj >= 0, _adj - _ids, 0)).max()))
+    n_chunks = Lp // _LANE
+    wt = 3 if band <= _LANE else (5 if band <= 2 * _LANE else 0)
+    banded = Lp >= 512 and wt > 0 and not _ablate
+    chunk_starts = tuple(
+        min(max(_LANE * (j - wt // 2), 0), Lp - _LANE * wt)
+        for j in range(n_chunks)) if banded else ()
+
     # ---- static constants -------------------------------------------------
     def row(x, dtype=np.float32, fill=0.0):
         out = np.full((1, Lp), fill, dtype)
@@ -199,7 +229,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # geometry), so build it host-side and keep it VMEM-resident instead of
     # re-materializing an iota compare every step — gated on size so huge
     # scenes (9x9: 16 MB) don't eat the scoped-VMEM budget.
-    hoist_ohpk = K * Lp * Lp * 4 <= 8 * 1024 * 1024
+    hoist_ohpk = (not banded) and K * Lp * Lp * 4 <= 8 * 1024 * 1024
     if hoist_ohpk:
         ohpk_c = (np.arange(Lp, dtype=np.int32)[:, None] ==
                   prev_cat).astype(np.float32)
@@ -214,6 +244,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                   inter_pick=inter_pick, prog=prog_tab)
     if hoist_ohpk:
         consts["ohpk_c"] = ohpk_c
+    if banded:
+        # the arbitration one-hot is static -> per-chunk banded windows
+        # built host-side ([n_chunks, wt*128, K*128]: 2.7 MB at 7x7 and
+        # 7 MB at 9x9, vs 16 MB for the dense hoist the size gate
+        # rejects at 9x9)
+        ohpk_b = np.zeros((n_chunks, wt * _LANE, K * _LANE), np.float32)
+        for j, st in enumerate(chunk_starts):
+            for k in range(K):
+                idx = prev_k[k, j * _LANE:(j + 1) * _LANE]
+                rel = np.where(idx >= 0, idx - st, -1)
+                valid = idx >= 0
+                assert ((rel[valid] >= 0) &
+                        (rel[valid] < wt * _LANE)).all(), "band violated"
+                ohpk_b[j, rel[valid], k * _LANE +
+                       np.nonzero(valid)[0]] = 1.0
+        consts["ohpk_b"] = ohpk_b
     if packed:
         consts["ep_pick"] = ep_pick_np
         consts["ep_pick_t"] = ep_pick_np.T.copy()
@@ -272,6 +318,44 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         columns), so sliced results are bit-identical to per-index
         gathers."""
         return oh_cat(jnp.concatenate(idx_rows, axis=1))
+
+    def gather_multi(rows_cat, idx_rows, cn=None, sg=False,
+                     prebuilt_chunks=None):
+        """Gather a [N, Lp] row stack at M ADJACENCY-class index rows ->
+        [N, M*Lp] in the ``oh_multi`` block layout. Dense one-hot matmul
+        below the banded threshold; chunked block-band dots above it
+        (``banded`` docstring at the top of this function's module scope).
+        ``prebuilt_chunks``: a [n_chunks, wt*128, M*128] resident constant
+        of per-chunk window one-hots (static index rows)."""
+        if not banded:
+            out = jnp.dot(rows_cat, oh_multi(idx_rows),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            return jax.lax.stop_gradient(out) if sg else out
+        M = (len(idx_rows) if prebuilt_chunks is None
+             else prebuilt_chunks.shape[2] // _LANE)
+        W128 = wt * _LANE
+        outs = []
+        for j in range(n_chunks):
+            st = chunk_starts[j]
+            if prebuilt_chunks is None:
+                rel = jnp.concatenate(
+                    [jnp.where(ir[:, j * _LANE:(j + 1) * _LANE] >= 0,
+                               ir[:, j * _LANE:(j + 1) * _LANE] - st, -1)
+                     for ir in idx_rows], axis=1)  # [1, M*128]
+                ohj = (jax.lax.broadcasted_iota(
+                    jnp.int32, (W128, M * _LANE), 0) == rel).astype(
+                    jnp.float32)
+            else:
+                ohj = prebuilt_chunks[j]
+            outs.append(jnp.dot(rows_cat[:, st:st + W128], ohj,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST))
+        res = jnp.concatenate(
+            [jnp.concatenate([outs[j][:, m * _LANE:(m + 1) * _LANE]
+                              for j in range(n_chunks)], axis=1)
+             for m in range(M)], axis=1)
+        return jax.lax.stop_gradient(res) if sg else res
 
     def gather_rows(rows, idx_row, oh=None):
         """Gather many [*, Lp] rows at the SAME lane index in one MXU pass:
@@ -405,6 +489,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             if extra_idx is not None:
                 idx_rows.append(extra_idx)
                 lhs += [cn["is_macro"], count_row, cn["length"]]
+            if banded and extra_idx is None:
+                return gather_multi(jnp.concatenate(lhs, axis=0),
+                                    idx_rows)
             ohb = (cn["dummy_oh"][:, :3 * Lp] if "ohb" in _ablate else
                    oh_multi(idx_rows))
             return jnp.dot(jnp.concatenate(lhs, axis=0), ohb,
@@ -567,7 +654,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
             wl_cat = ent[:, 2 * Lp:]  # [1, W*Lp]
             next_l = wl_cat[:, :Lp]
-            if _ablate and ({"walk", "ohb"} & set(_ablate)):
+            if banded or (_ablate and ({"walk", "ohb"} & set(_ablate))):
                 # profiling rig: keep the families separate so their
                 # stubs attribute independently
                 ohw = (cn["dummy_oh"][:, :W * Lp] if "walk" in _ablate
@@ -591,14 +678,28 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if boundary_out is None:  # replay / early-exit / rig paths
             boundary_out = boundary_rows(boundary_gather())
         bl_r, bl_u, br_r, br_u = boundary_out
-        # leader tail fields + the 3 signal lookups in ONE wide gather
-        ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
-               oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
-                         next_l]))  # [Lp, 4Lp]
-        gts = jnp.dot(jnp.concatenate([pos[:1], vel[:1], sig], axis=0),
-                      ohg, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        gt = gts[0:2, :Lp]
+        if banded:
+            # leader tail fields at wstar (a walk result — unbounded) stay
+            # dense but drop to a 2-row dot; the 3 signal lookups are
+            # route-adjacent -> banded
+            gt = gather_rows([pos[:1], vel[:1]],
+                             jnp.where(found, wstar, -1))
+            sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
+            sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
+                                   sig3[:, 2 * Lp:])
+        else:
+            # leader tail fields + the 3 signal lookups in ONE wide gather
+            ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
+                   oh_multi([jnp.where(found, wstar, -1), curr_l, prev_l,
+                             next_l]))  # [Lp, 4Lp]
+            gts = jnp.dot(jnp.concatenate([pos[:1], vel[:1], sig],
+                                          axis=0),
+                          ohg, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            gt = gts[0:2, :Lp]
+            sig_c, sig_p, sig_n = (gts[2:3, Lp:2 * Lp],
+                                   gts[2:3, 2 * Lp:3 * Lp],
+                                   gts[2:3, 3 * Lp:])
         cdel = cdel_st + (base - jax.lax.stop_gradient(base))
         new_pd = jnp.maximum(cdel + gt[0:1] - veh_len * 0.5, 0.0)
         pd_g = jnp.where(found, new_pd, 1000.0)
@@ -619,10 +720,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             n_sc = jnp.zeros((1, Lp))
         ssum = p_sc + c_sc + n_sc
         p_sc, c_sc, n_sc = p_sc / ssum, c_sc / ssum, n_sc / ssum
-        # the 3 sig lookups ride blocks 1-3 of the ``gts`` gather above
-        fsig = c_sc * gts[2:3, Lp:2 * Lp]
-        fsig += jnp.where(prev_exist, p_sc * gts[2:3, 2 * Lp:3 * Lp], 0.0)
-        fsig += jnp.where(next_exist, n_sc * gts[2:3, 3 * Lp:], 0.0)
+        # the 3 sig lookups ride the signal gather above
+        fsig = c_sc * sig_c
+        fsig += jnp.where(prev_exist, p_sc * sig_p, 0.0)
+        fsig += jnp.where(next_exist, n_sc * sig_n, 0.0)
         blend = h_exists & (micro_row > 0)
         if diff:
             sg_tot = sg_tot + jax.lax.stop_gradient(
@@ -710,13 +811,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # destination probes for BOTH event families (macro->micro
         # emission at mnext, head exits at hnext) in ONE gather; every
         # row only feeds event PREDICATES -> stop-gradient
-        ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
-                oh_multi([mnext_t, hnext]))
-        gmh = jax.lax.stop_gradient(jnp.dot(
-            jnp.concatenate([cn["is_macro"], count_row, pos[:1],
-                             cn["length"]], axis=0), ohmh,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
+        gmh_rows = jnp.concatenate([cn["is_macro"], count_row, pos[:1],
+                                    cn["length"]], axis=0)
+        if banded:
+            ohmh = None
+            gmh = gather_multi(gmh_rows, [mnext_t, hnext], sg=True)
+        else:
+            ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
+                    oh_multi([mnext_t, hnext]))
+            gmh = jax.lax.stop_gradient(jnp.dot(
+                gmh_rows, ohmh,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
         gm = gmh[:, :Lp]
         next_is_micro = macro_src & (gm[0:1] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
@@ -749,12 +855,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
         dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
         we_f = want_emit.astype(jnp.float32)
-        ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
-                (cn["ohpk_c"] if hoist_ohpk else oh_cat(cn["prev_cat"])))
-        GK = jax.lax.stop_gradient(jnp.dot(
-            jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt], axis=0),
-            ohpk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
+        gk_rows = jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt],
+                                  axis=0)
+        if banded:
+            GK = gather_multi(gk_rows, None, sg=True,
+                              prebuilt_chunks=cn["ohpk_b"])
+        else:
+            ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
+                    (cn["ohpk_c"] if hoist_ohpk else
+                     oh_cat(cn["prev_cat"])))
+            GK = jax.lax.stop_gradient(jnp.dot(
+                gk_rows, ohpk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
         for k in range(K):
             pk = cn["prev_k"][k: k + 1]  # [1, Lp]
             ok = pk >= 0  # every candidate test below is gated on ok, so
@@ -788,22 +900,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # blocks 1-2 (mnext, hnext) are bit-identical to ``ohmh`` above, so
         # reuse it and build only the [sdep, src] half (lane-axis concat of
         # two sublane-offset-0 values — Mosaic-safe, unlike slice concats)
-        oh4 = (cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
-               jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
+        oh4 = None if banded else (
+            cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
+            jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
         # ONE matmul for both row families; the discrete rows' slice is
         # stop-gradient'd AFTER the dot (their cotangent is structurally
         # zero, so the merged transpose routes the same gradient as the
         # former two-dot form — and one dot replaces two)
         n_sg = 5 + R
-        Gall = jnp.dot(
-            jnp.concatenate([best.astype(jnp.float32),
-                             dep_best.astype(jnp.float32), cn["is_macro"],
-                             cn["length"], ridx_h.astype(jnp.float32),
-                             route_h.astype(jnp.float32),
-                             hv_pos, hv_vel, hv_a, u_last, emit_carrier],
-                            axis=0),
-            oh4, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        gall_rows = jnp.concatenate(
+            [best.astype(jnp.float32),
+             dep_best.astype(jnp.float32), cn["is_macro"],
+             cn["length"], ridx_h.astype(jnp.float32),
+             route_h.astype(jnp.float32),
+             hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
+        if banded:
+            Gall = gather_multi(gall_rows, [mnext_t, hnext, sdep, src])
+        else:
+            Gall = jnp.dot(
+                gall_rows, oh4, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         Gsg = jax.lax.stop_gradient(Gall[:n_sg])
         Gdf = Gall[n_sg:]
         b_mn, b_hn = slice(0, Lp), slice(Lp, 2 * Lp)
@@ -1334,6 +1450,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         int(np.prod(shp)) * 4
         for shp in ([TRAJ[j][1] for j in SLIM_IDX] +
                     [shp for _, shp, _ in EXTRA])))
+    fn.banded = banded
     fn.geometry = dict(L=L, Lp=Lp, Cp=Cp, Vp=Vp, R=R, K=K, W=W, T=T,
                        n_phases=n_phases, n_inter=n_inter,
                        episodes=B_ep if packed else 1)

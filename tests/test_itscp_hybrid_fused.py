@@ -330,3 +330,53 @@ def test_packed_episodes_match_vmapped_singles():
     assert np.max(np.abs(gv - gp)) / np.max(np.abs(gv)) < 1e-4
 
 
+
+
+@pytest.mark.slow
+def test_banded_5x5_matches_scan():
+    """Banded gathers (round 3): at Lp >= 512 the kernel's adjacency-class
+    gathers run as chunked block-band dots. Exactness contract: identical
+    rewards/queues/events and a matching action gradient vs the scan env
+    on a 5x5 hybrid scene with live events. The kernel must actually have
+    taken the banded path (fn.banded)."""
+    cfg = dict(num_intersection=5, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=18,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    fused = make_fused_itscp_episode(
+        env.spec, env.meta, env.config, V, R, P, P2, differentiable=True,
+        window=env._fused_win_needed, interpret=True)
+    assert fused.banded, "5x5 must take the banded path"
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    n_phases = fused.geometry["n_phases"]
+    action = jnp.full(env.action_size(), 0.55)
+
+    ref = env.episode(action, True, key)
+    assert int(ref.emitted) > 0  # events actually fire
+
+    def frun(a):
+        return fused(a.reshape(n_phases, -1), env.data.schedule,
+                     env.data.mroute_next, env.data.mroute_prev, rand,
+                     env.data.inj_routes, env.base_state.route_pool)
+
+    reward, queues = frun(action)
+    assert float(reward) == pytest.approx(float(ref.reward), rel=2e-3,
+                                          abs=2e-3)
+    np.testing.assert_allclose(np.asarray(queues),
+                               np.asarray(ref.queue_per_step), rtol=5e-3,
+                               atol=1e-4)
+
+    g_f = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
+    g_r = np.asarray(jax.grad(
+        lambda a: env.episode(a, True, key).reward)(action))
+    cos = np.sum(g_f * g_r) / (np.linalg.norm(g_f) * np.linalg.norm(g_r) +
+                               1e-30)
+    assert cos > 0.9999, cos
