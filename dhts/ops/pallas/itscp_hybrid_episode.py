@@ -143,11 +143,20 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if _adj.size:
             band = max(band, int(np.abs(
                 np.where(_adj >= 0, _adj - _ids, 0)).max()))
-    n_chunks = Lp // _LANE
-    wt = 3 if band <= _LANE else (5 if band <= 2 * _LANE else 0)
-    banded = Lp >= 512 and wt > 0 and not _ablate
+    _pad = _LANE * int(np.ceil(band / _LANE)) if band else _LANE
+    # chunk width trades one-hot area (window = chunk + 2*pad) against
+    # per-chunk dot count; at the band/Lp ratios of 5x5-9x9 grids the
+    # measured optimum is the narrowest chunk (128) — overridable for
+    # experiments via DHTS_BANDED_CHUNK
+    import os as _os
+    _chunk_env = int(_os.environ.get("DHTS_BANDED_CHUNK", "0"))
+    chunk_c = _chunk_env if (_chunk_env and Lp % _chunk_env == 0) else _LANE
+    win = chunk_c + 2 * _pad
+    n_chunks = Lp // chunk_c
+    banded = (Lp >= 512 and band > 0 and _pad <= 2 * _LANE and
+              win < Lp and not _ablate)
     chunk_starts = tuple(
-        min(max(_LANE * (j - wt // 2), 0), Lp - _LANE * wt)
+        min(max(chunk_c * j - _pad, 0), Lp - win)
         for j in range(n_chunks)) if banded else ()
 
     # ---- static constants -------------------------------------------------
@@ -249,15 +258,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # built host-side ([n_chunks, wt*128, K*128]: 2.7 MB at 7x7 and
         # 7 MB at 9x9, vs 16 MB for the dense hoist the size gate
         # rejects at 9x9)
-        ohpk_b = np.zeros((n_chunks, wt * _LANE, K * _LANE), np.float32)
+        ohpk_b = np.zeros((n_chunks, win, K * chunk_c), np.float32)
         for j, st in enumerate(chunk_starts):
             for k in range(K):
-                idx = prev_k[k, j * _LANE:(j + 1) * _LANE]
+                idx = prev_k[k, j * chunk_c:(j + 1) * chunk_c]
                 rel = np.where(idx >= 0, idx - st, -1)
                 valid = idx >= 0
                 assert ((rel[valid] >= 0) &
-                        (rel[valid] < wt * _LANE)).all(), "band violated"
-                ohpk_b[j, rel[valid], k * _LANE +
+                        (rel[valid] < win)).all(), "band violated"
+                ohpk_b[j, rel[valid], k * chunk_c +
                        np.nonzero(valid)[0]] = 1.0
         consts["ohpk_b"] = ohpk_b
     if packed:
@@ -333,26 +342,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                           precision=jax.lax.Precision.HIGHEST)
             return jax.lax.stop_gradient(out) if sg else out
         M = (len(idx_rows) if prebuilt_chunks is None
-             else prebuilt_chunks.shape[2] // _LANE)
-        W128 = wt * _LANE
+             else prebuilt_chunks.shape[2] // chunk_c)
         outs = []
         for j in range(n_chunks):
             st = chunk_starts[j]
             if prebuilt_chunks is None:
                 rel = jnp.concatenate(
-                    [jnp.where(ir[:, j * _LANE:(j + 1) * _LANE] >= 0,
-                               ir[:, j * _LANE:(j + 1) * _LANE] - st, -1)
-                     for ir in idx_rows], axis=1)  # [1, M*128]
+                    [jnp.where(ir[:, j * chunk_c:(j + 1) * chunk_c] >= 0,
+                               ir[:, j * chunk_c:(j + 1) * chunk_c] - st,
+                               -1)
+                     for ir in idx_rows], axis=1)  # [1, M*chunk_c]
                 ohj = (jax.lax.broadcasted_iota(
-                    jnp.int32, (W128, M * _LANE), 0) == rel).astype(
+                    jnp.int32, (win, M * chunk_c), 0) == rel).astype(
                     jnp.float32)
             else:
                 ohj = prebuilt_chunks[j]
-            outs.append(jnp.dot(rows_cat[:, st:st + W128], ohj,
+            outs.append(jnp.dot(rows_cat[:, st:st + win], ohj,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST))
         res = jnp.concatenate(
-            [jnp.concatenate([outs[j][:, m * _LANE:(m + 1) * _LANE]
+            [jnp.concatenate([outs[j][:, m * chunk_c:(m + 1) * chunk_c]
                               for j in range(n_chunks)], axis=1)
              for m in range(M)], axis=1)
         return jax.lax.stop_gradient(res) if sg else res
@@ -637,11 +646,25 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 return (o + 1, out[0].astype(jnp.int32),
                         out[1].astype(jnp.int32)) + out[2:]
 
-            st = jax.lax.while_loop(
-                w_cond, w_body,
-                (jnp.zeros((), jnp.int32),
-                 walk0[0].astype(jnp.int32), walk0[1].astype(jnp.int32))
-                + walk0[2:])
+            if banded:
+                # hop 0 peeled: its target is the route successor of the
+                # head's CURRENT lane (adjacency-banded, and already
+                # picked as next_l), so the always-executed first hop
+                # gathers banded; the loop handles hops 1+ (targets o
+                # hops down the route — unbounded) densely
+                gw0 = gather_multi(
+                    jnp.concatenate([cn["is_macro"], count_row,
+                                     cn["length"]], axis=0), [next_l],
+                    sg=True)
+                w_init = walk_latch(next_l, gw0, *walk0)
+                st0 = ((jnp.ones((), jnp.int32),
+                        w_init[0].astype(jnp.int32),
+                        w_init[1].astype(jnp.int32)) + w_init[2:])
+            else:
+                st0 = ((jnp.zeros((), jnp.int32),
+                        walk0[0].astype(jnp.int32),
+                        walk0[1].astype(jnp.int32)) + walk0[2:])
+            st = jax.lax.while_loop(w_cond, w_body, st0)
             done, found = st[1] > 0, st[2] > 0
             wstar, cdel_st, cur_delta = st[3:]
         else:
