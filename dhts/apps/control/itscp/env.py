@@ -591,8 +591,12 @@ class ItscpEnv:
         on all-macro scenes the vehicle machinery is inert and it still
         beats the VMEM-resident macro kernel (62k vs 10k steps/s at 3x3;
         gradient cosine 1.0 and exact event parity vs the scan path)."""
-        if differentiable and self.config.get("use_fused_episode"):
-            return self._fused_hybrid_episode(action, key)
+        if self.config.get("use_fused_episode"):
+            # both modes: the hard (non-differentiable) kernel is the
+            # eval path — at 5x5+ the scan fallback's TPU compile is
+            # minutes-to-wedge while the fused kernel compiles in seconds
+            run_one = self._fused_episode_one(differentiable)
+            return run_one(jnp.asarray(action), self.data, key)
         fn = self._episode_soft if differentiable else self._episode_hard
         return fn(jnp.asarray(action), self.data, self.base_state, key)
 
@@ -657,28 +661,29 @@ class ItscpEnv:
         run_one = self._fused_episode_one()
         return run_one(jnp.asarray(action), self.data, key)
 
-    def _fused_episode_one(self):
-        """Build (or reuse) the fused kernel and return
-        ``one(action_flat, data, key) -> EpisodeResult`` — vmappable over
-        a scenario batch (the kernel shares the emission route pool across
-        scenarios, like the scan batch path)."""
+    def _fused_episode_one(self, differentiable: bool = True):
+        """Build (or reuse) the fused kernel (soft or hard mode) and
+        return ``one(action_flat, data, key) -> EpisodeResult`` —
+        vmappable over a scenario batch (the kernel shares the emission
+        route pool across scenarios, like the scan batch path)."""
         from dhts.ops.pallas.itscp_hybrid_episode import \
             make_fused_itscp_episode
 
         # _fused_win is computed in reset() (where the pools change); the
         # kernel bakes it in, so a reset needing a longer walk rebuilds
         win = self._fused_win_needed
-        if (getattr(self, "_fused_hyb_fn", None) is None or
-                win > self._fused_win):
+        cache = "_fused_hyb_fn" if differentiable else "_fused_hyb_fn_hard"
+        if (getattr(self, cache, None) is None or
+                win > getattr(self, "_fused_win", -1)):
             V = self.base_state.micro.position.shape[1]
             R = self.base_state.micro.route.shape[2]
             P = self.data.inj_routes.shape[1]
             P2 = self.base_state.route_pool.shape[1]
-            self._fused_hyb_fn = make_fused_itscp_episode(
+            setattr(self, cache, make_fused_itscp_episode(
                 self.spec, self.meta, self.config, V, R, P, P2,
-                differentiable=True, window=win)
+                differentiable=differentiable, window=win))
             self._fused_win = win
-        fn = self._fused_hyb_fn
+        fn = getattr(self, cache)
         c = self.config
         n_phases = max(1, (c["policy_length"] * c["duration"]) //
                        c["signal_length"])

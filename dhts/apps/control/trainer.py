@@ -123,8 +123,14 @@ class Trainer:
         else:
             soft_ep = lambda a, data, state0, k: env._episode_soft(
                 a, data, state0, k)
-        hard_ep = lambda a, data, state0, k: env._episode_hard(
-            a, data, state0, k)
+        if env.config.get("use_fused_episode"):
+            # hard-mode eval through the fused kernel too: at 5x5+ the
+            # scan fallback's TPU compile is minutes-to-wedge
+            hard_ep = lambda a, data, state0, k: \
+                env._fused_episode_one(False)(a, data, k)
+        else:
+            hard_ep = lambda a, data, state0, k: env._episode_hard(
+                a, data, state0, k)
 
         if multi_scenario:
             B = self.obs.shape[0]

@@ -238,3 +238,32 @@ def test_trainer_honors_env_reset():
     env.reset(seed=31)  # new schedule / pools, same shapes
     r2 = float(tr._eval_episode(tr.params, k).reward)
     assert r1 != r2, "trainer kept simulating the stale episode data"
+
+
+@pytest.mark.slow
+def test_hard_mode_honors_fused_flag():
+    """Round 3: with use_fused_episode, HARD-mode episodes (the eval
+    path) also run the fused kernel — at 5x5+ the scan fallback's TPU
+    compile is minutes-to-wedge. Reward/queues/events must match the
+    scan hard path on a hybrid scene with live events."""
+    cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=16,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    key = jax.random.PRNGKey(0)
+    es = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    es.reset()
+    a = jnp.full((es.action_size(),), 0.45)
+    rs = es.episode(a, False, key)
+    ef = ItscpEnv(config=dict(cfg, use_fused_episode=True),
+                  schedule_fn=problem_1)
+    ef.reset()
+    rf = ef.episode(a, False, key)
+    np.testing.assert_allclose(float(rf.reward), float(rs.reward),
+                               rtol=2e-3, atol=2e-3)
+    assert int(rs.emitted) > 0
+    for f in ("injected", "emitted", "absorbed"):
+        assert int(getattr(rf, f)) == int(getattr(rs, f)), f
+    np.testing.assert_allclose(np.asarray(rf.queue_per_step),
+                               np.asarray(rs.queue_per_step), rtol=5e-3,
+                               atol=1e-4)
