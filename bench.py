@@ -25,6 +25,35 @@ import time
 REFERENCE_STEPS_PER_SEC = 3.34  # see module docstring for provenance
 
 
+def _start_watchdog(seconds):
+    """Abort (and once, re-exec) if the bench doesn't finish in time.
+
+    The exception-based retry below can't catch the tunnel's worst
+    failure mode: the axon relay going away entirely, which leaves
+    PJRT backend *initialization* retrying a dead 127.0.0.1 port
+    forever — ``jax.devices()`` never returns and the driver's bench
+    run would hang without ever producing a JSON line. A daemon timer
+    converts that hang into the same retry-once-then-fail path as an
+    exception (``os.execv`` replaces the whole process regardless of
+    which thread calls it)."""
+    import os
+    import threading
+
+    def _fire():
+        print(f"bench watchdog: not finished within {seconds}s "
+              "(wedged/dead TPU tunnel?); aborting this process",
+              file=sys.stderr, flush=True)
+        if os.environ.get("DHTS_BENCH_RETRIED") is None:
+            os.environ["DHTS_BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        os._exit(17)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -34,7 +63,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--no-compile-smoke", action="store_true",
                     help="skip the 5x5 real-Mosaic compile smoke")
+    ap.add_argument("--watchdog", type=int, default=int(__import__("os")
+                    .environ.get("DHTS_BENCH_WATCHDOG_S", 3600)),
+                    help="hard wall-clock bound in seconds (0 disables)")
     args = ap.parse_args()
+
+    watchdog = _start_watchdog(args.watchdog) if args.watchdog else None
 
     if args.smoke:
         import os
@@ -253,6 +287,8 @@ def main():
         **roofline,
         **extras,
     }))
+    if watchdog is not None:
+        watchdog.cancel()
     return 0
 
 
