@@ -74,6 +74,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                              window: int | None = None,
                              interpret: bool | None = None,
                              episodes: int = 1, ep_of_lane=None,
+                             wide_ops: bool | None = None,
                              _ablate: tuple = ()):
     """Build the fused differentiable episode for a (possibly) hybrid scene.
 
@@ -90,6 +91,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     least ``leader_window(spec.is_macro, <all route pools>)`` — i.e. large
     enough that the walk always terminates inside it; defaults to the safe
     R-1.
+
+    ``wide_ops``: run the walk-latch fold and the K-way arbitration scan
+    as single wide-row passes over the already-wide hop/predecessor
+    gather blocks (value-identical; see ``walk_latch_wide``). Default is
+    the ``DHTS_WIDE_OPS`` env var (off until Mosaic-verified on real
+    TPU hardware).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -149,6 +156,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # measured optimum is the narrowest chunk (128) — overridable for
     # experiments via DHTS_BANDED_CHUNK
     import os as _os
+    if wide_ops is None:
+        wide_ops = _os.environ.get("DHTS_WIDE_OPS", "0") == "1"
     _chunk_env = int(_os.environ.get("DHTS_BANDED_CHUNK", "0"))
     chunk_c = _chunk_env if (_chunk_env and Lp % _chunk_env == 0) else _LANE
     win = chunk_c + 2 * _pad
@@ -384,6 +393,25 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         one-hot. Values are identical to :func:`gather_rows`."""
         return jax.lax.stop_gradient(gather_rows(rows, idx_row, oh))
 
+    def blk_tree(x, op, w):
+        """Pairwise reduction over the ``w`` lane-blocks of a fresh
+        [N, w*Lp] row stack -> [N, Lp], in ceil(log2 w) wide ops instead
+        of w-1 narrow ones. Only used with order-insensitive exact ops
+        (int/bool min/max), so the tree order is value-identical to a
+        sequential fold. Operands are lane-axis slices of fresh
+        (sublane-offset-0) values — the Mosaic-safe slice pattern the
+        hop-block gathers already rely on."""
+        extra = None
+        while w > 1:
+            if w % 2:
+                last = x[:, (w - 1) * Lp:w * Lp]
+                extra = last if extra is None else op(extra, last)
+                w -= 1
+            h = w // 2
+            x = op(x[:, :h * Lp], x[:, h * Lp:w * Lp])
+            w = h
+        return x if extra is None else op(x, extra)
+
     def head_oh(count):
         """[Vp, Lp] one-hot of the head slot (count-1), falling back to
         slot 0 when the lane is empty — the same clip the scan model uses
@@ -586,6 +614,43 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             cur_delta = jnp.where(~done, cur_delta + gw[2:3], cur_delta)
             return done, found, wstar, cdel_st, cur_delta
 
+        def walk_latch_wide(wl_cat, GW):
+            """All W hops' latch logic in one pass over the [*, W*Lp] wide
+            hop blocks, replacing the W-fold of :func:`walk_latch`
+            (~12 narrow ops/hop with a serial dependency chain) by ~15
+            wide ops plus three log-depth block reductions. The walk's
+            sequential semantics reduce to FIRST-STOP selection: a hop
+            terminates the walk iff its target is missing, macro, or an
+            occupied micro lane, so the terminating hop is the block-min
+            of stop positions, ``found`` is whether that hop stopped on
+            an occupied micro lane, and the accumulated gap is the masked
+            prefix of hop lengths below it. Values are bit-identical to
+            the fold: all selections are exact int/bool ops, and the gap
+            sum keeps the fold's left-to-right float addition order
+            (masked adds of exact 0.0)."""
+            exists = wl_cat >= 0
+            w_macro = GW[0:1] > 0.5
+            occupied = exists & ~w_macro & (GW[1:2] > 0.5)
+            stop = ~exists | w_macro | occupied
+            blk = (jax.lax.broadcasted_iota(jnp.int32, (1, W * Lp), 1)
+                   // Lp)
+            ostar = blk_tree(jnp.where(stop, blk, W), jnp.minimum, W)
+            tile = jnp.concatenate([ostar] * W, axis=1)
+            sel = (blk == tile) & occupied
+            mx = blk_tree(jnp.concatenate(
+                [sel.astype(jnp.int32), jnp.where(sel, wl_cat, -1)],
+                axis=0), jnp.maximum, W)
+            found = (mx[0:1] > 0) & h_exists
+            wstar = jnp.where(found, mx[1:2], -1)
+            # gap below the terminating hop, in fold addition order
+            before = (blk < tile).astype(jnp.float32)
+            acc = jax.lax.stop_gradient(base)
+            for o in range(W):
+                acc = acc + (GW[2:3, o * Lp:(o + 1) * Lp] *
+                             before[:, o * Lp:(o + 1) * Lp])
+            cdel_st = jnp.where(found, acc, 0.0)
+            return found, wstar, cdel_st
+
         def walk_hop(o, done, found, wstar, cdel_st, cur_delta):
             j = ridx_h + 1 + o
             wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
@@ -693,11 +758,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 gbw = boundary_gather(wl_cat)
                 boundary_out = boundary_rows(gbw)
                 GW = jax.lax.stop_gradient(gbw[6:9, 3 * Lp:])
-            st = walk0
-            for o in range(W):
-                st = walk_latch(wl_cat[:, o * Lp:(o + 1) * Lp],
-                                GW[:, o * Lp:(o + 1) * Lp], *st)
-            done, found, wstar, cdel_st, cur_delta = st
+            if wide_ops:
+                found, wstar, cdel_st = walk_latch_wide(wl_cat, GW)
+            else:
+                st = walk0
+                for o in range(W):
+                    st = walk_latch(wl_cat[:, o * Lp:(o + 1) * Lp],
+                                    GW[:, o * Lp:(o + 1) * Lp], *st)
+                done, found, wstar, cdel_st, cur_delta = st
         if boundary_out is None:  # replay / early-exit / rig paths
             boundary_out = boundary_rows(boundary_gather())
         bl_r, bl_u, br_r, br_u = boundary_out
@@ -872,8 +940,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # arbitration over each dest's predecessor list: the 4 candidate
         # rows gathered at ALL K static predecessor lists in one matmul
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-        best = jnp.full((1, Lp), Lp, jnp.int32)
-        dep_best = jnp.full((1, Lp), Lp, jnp.int32)
         mnext_f = mnext_t.astype(jnp.float32)
         tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
         dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
@@ -890,19 +956,37 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             GK = jax.lax.stop_gradient(jnp.dot(
                 gk_rows, ohpk, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST))
-        for k in range(K):
-            pk = cn["prev_k"][k: k + 1]  # [1, Lp]
-            ok = pk >= 0  # every candidate test below is gated on ok, so
-            # the zeros a batched gather yields at invalid pk are harmless
-            gk = GK[:, k * Lp:(k + 1) * Lp]
-            tgt = gk[0:1].astype(jnp.int32)
-            c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
-            c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
-            cand = jnp.where(c_emit | c_tr, pk, Lp)
-            best = jnp.minimum(best, cand)
-            cand_d = jnp.where(ok & (gk[3:4].astype(jnp.int32) == lane_ids),
-                               pk, Lp)
-            dep_best = jnp.minimum(dep_best, cand_d)
+        if wide_ops:
+            # all K predecessor slots tested at once on the wide GK rows;
+            # the winner (lowest predecessor id) is an exact int block-min,
+            # identical to the sequential K-fold
+            okw = cn["prev_cat"] >= 0  # invalid slots gather zeros: gated
+            lane_tile = jnp.concatenate([lane_ids] * K, axis=1)
+            tgtw = GK[0:1].astype(jnp.int32)
+            c_emitw = okw & (GK[1:2] > 0.5) & (tgtw == lane_tile)
+            c_trw = okw & (GK[2:3].astype(jnp.int32) == lane_tile)
+            best = blk_tree(jnp.where(c_emitw | c_trw, cn["prev_cat"], Lp),
+                            jnp.minimum, K)
+            c_depw = okw & (GK[3:4].astype(jnp.int32) == lane_tile)
+            dep_best = blk_tree(jnp.where(c_depw, cn["prev_cat"], Lp),
+                                jnp.minimum, K)
+        else:
+            best = jnp.full((1, Lp), Lp, jnp.int32)
+            dep_best = jnp.full((1, Lp), Lp, jnp.int32)
+            for k in range(K):
+                pk = cn["prev_k"][k: k + 1]  # [1, Lp]
+                ok = pk >= 0  # every candidate test below is gated on ok,
+                # so the zeros a batched gather yields at invalid pk are
+                # harmless
+                gk = GK[:, k * Lp:(k + 1) * Lp]
+                tgt = gk[0:1].astype(jnp.int32)
+                c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
+                c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
+                cand = jnp.where(c_emit | c_tr, pk, Lp)
+                best = jnp.minimum(best, cand)
+                cand_d = jnp.where(ok & (gk[3:4].astype(jnp.int32) ==
+                                         lane_ids), pk, Lp)
+                dep_best = jnp.minimum(dep_best, cand_d)
 
         # the emitted vehicle's ancillary mass: value veh_len, gradient of
         # the source lane's flux capacitor (the reference's nv.a trick,

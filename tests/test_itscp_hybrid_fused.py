@@ -332,6 +332,57 @@ def test_packed_episodes_match_vmapped_singles():
 
 
 
+def test_wide_ops_bit_identical():
+    """``wide_ops`` (round 3): the walk-latch fold and the K-way
+    arbitration scan rewritten as wide-row block passes must be
+    BIT-IDENTICAL to the sequential forms — rewards, queue curves, event
+    counters and action gradients all exactly equal on a 3x3 hybrid scene
+    with live emission/transfer/deposit events (the scene of
+    ``test_hybrid_fused_gradient_through_emission_events``, so both the
+    arbitration winners and the leader walk actually matter)."""
+    cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=16,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    from dhts.ops.pallas.itscp_hybrid_episode import leader_window
+    win = max(leader_window(env.spec.is_macro, env.data.inj_routes),
+              leader_window(env.spec.is_macro, env.base_state.route_pool))
+    kernels = {
+        w: make_fused_itscp_episode(env.spec, env.meta, env.config, V, R,
+                                    P, P2, differentiable=True, window=win,
+                                    interpret=True, wide_ops=w)
+        for w in (False, True)}
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    n_phases = cfg["policy_length"] // cfg["signal_length"]
+    action = jnp.full(env.action_size(), 0.6)
+
+    outs, grads = {}, {}
+    for w, fused in kernels.items():
+        def frun(a, fused=fused):
+            return fused(a.reshape(n_phases, -1), env.data.schedule,
+                         env.data.mroute_next, env.data.mroute_prev, rand,
+                         env.data.inj_routes, env.base_state.route_pool,
+                         with_events=True)
+        outs[w] = frun(action)
+        grads[w] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
+    reward, queues, events = outs[False]
+    reward_w, queues_w, events_w = outs[True]
+    assert int(np.asarray(events)[:, 1].sum()) >= 2, \
+        "scene no longer emits: wide-arbitration coverage is vacuous"
+    assert float(reward_w) == float(reward)
+    np.testing.assert_array_equal(np.asarray(queues_w), np.asarray(queues))
+    np.testing.assert_array_equal(np.asarray(events_w), np.asarray(events))
+    np.testing.assert_array_equal(grads[True], grads[False])
+
+
 @pytest.mark.slow
 def test_banded_5x5_matches_scan():
     """Banded gathers (round 3): at Lp >= 512 the kernel's adjacency-class
@@ -380,3 +431,26 @@ def test_banded_5x5_matches_scan():
     cos = np.sum(g_f * g_r) / (np.linalg.norm(g_f) * np.linalg.norm(g_r) +
                                1e-30)
     assert cos > 0.9999, cos
+
+    # wide_ops on the banded path (wide arbitration over the prebuilt
+    # per-chunk windows; the 5x5 walk takes the early-exit loop, which
+    # wide_ops leaves alone) must be bit-identical
+    fused_w = make_fused_itscp_episode(
+        env.spec, env.meta, env.config, V, R, P, P2, differentiable=True,
+        window=env._fused_win_needed, interpret=True, wide_ops=True)
+    reward_w, queues_w = fused_w(
+        action.reshape(n_phases, -1), env.data.schedule,
+        env.data.mroute_next, env.data.mroute_prev, rand,
+        env.data.inj_routes, env.base_state.route_pool)
+    assert float(reward_w) == float(reward)
+    np.testing.assert_array_equal(np.asarray(queues_w), np.asarray(queues))
+    g_w = np.asarray(jax.grad(lambda a: fused_w(
+        a.reshape(n_phases, -1), env.data.schedule, env.data.mroute_next,
+        env.data.mroute_prev, rand, env.data.inj_routes,
+        env.base_state.route_pool)[0])(action))
+    # The wide rewrite is inside stop_gradient, but it changes the
+    # backward-recompute graph XLA fuses, which can re-round unrelated
+    # near-zero cotangent components (observed: 2/225 elements off by
+    # ~5e-20 abs / 3e-7 rel on CPU). Tight allclose, not bitwise.
+    np.testing.assert_allclose(g_w, g_f, rtol=5e-6,
+                               atol=1e-12 * max(np.abs(g_f).max(), 1e-30))
