@@ -220,6 +220,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     NSFp = _round_up(nsf, _SUBLANE)
     prog_tab = np.zeros((NSFp, 1), np.float32)
     prog_tab[:nsf, 0] = np.minimum(np.arange(nsf) / nsf, 1.0)
+    # wide_ops: the per-step phase one-hot and signal progress are pure
+    # functions of t — precompute [T, NPp, 2] host-side (col 0: phase
+    # one-hot; [0, 1]: progress) and stream one tiny block per grid step
+    # instead of rebuilding two iota compares + a table lookup in-kernel
+    # (and again in every backward replay). Same formulas, bit-exact.
+    _steps = np.arange(T)
+    sig_tab = np.zeros((T, NPp, 2), np.float32)
+    sig_tab[_steps, np.minimum(_steps // nsf, n_phases - 1), 0] = 1.0
+    sig_tab[:, 0, 1] = prog_tab[_steps % nsf, 0]
 
     # ---- episode packing (block-diagonal scenes in one kernel) ------------
     # ``episodes`` > 1 runs B independent scenarios side by side in the lane
@@ -449,7 +458,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # =====================================================================
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
-             walk_saved=None, walk_saved_f=None, head_saved=None):
+             walk_saved=None, walk_saved_f=None, head_saved=None,
+             sig_t=None):
         # Per-vehicle IDM parameters are NOT carried: every vehicle in the
         # ITSCP scene is created with the same ``dflt`` values (injection
         # and emission both use default_micro_vehicle semantics,
@@ -465,18 +475,31 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         micro_row = 1.0 - cn["is_macro"]
 
         # ---- signals
-        phase = jnp.minimum(t // nsf, n_phases - 1)
-        ph_oh = (jax.lax.broadcasted_iota(jnp.int32, (NPp, 1), 0) ==
-                 phase).astype(jnp.float32)
+        if sig_t is not None:
+            # wide_ops: phase one-hot + progress streamed per step
+            # (host-precomputed ``sig_tab``; same formulas, bit-exact)
+            ph_oh = sig_t[:, 0:1]
+            progress = jnp.sum(sig_t[:1, 1:2])
+        else:
+            phase = jnp.minimum(t // nsf, n_phases - 1)
+            ph_oh = (jax.lax.broadcasted_iota(jnp.int32, (NPp, 1), 0) ==
+                     phase).astype(jnp.float32)
+            pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
+                     (t % nsf)).astype(jnp.float32)
+            progress = jnp.sum(cn["prog"] * pr_oh)
         a_row = jnp.sum(action2d * ph_oh, axis=0, keepdims=True)
         a_lane = jnp.dot(a_row, cn["inter_pick"],
                          preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-        pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
-                 (t % nsf)).astype(jnp.float32)
-        progress = jnp.sum(cn["prog"] * pr_oh)
-        g_axis = jnp.where(cn["is_we"] > 0, gate(a_lane - progress, 32.0),
-                           gate(progress - a_lane, 32.0))
+        if wide_ops and diff:
+            # both gate orientations in one stacked sigmoid chain
+            d_ap = a_lane - progress
+            g2 = soft(jnp.concatenate([d_ap, -d_ap], axis=0), 32.0)
+            g_axis = jnp.where(cn["is_we"] > 0, g2[0:1], g2[1:2])
+        else:
+            g_axis = jnp.where(cn["is_we"] > 0,
+                               gate(a_lane - progress, 32.0),
+                               gate(progress - a_lane, 32.0))
         sig = jnp.where(cn["approaching"] > 0, g_axis, 1.0)
 
         incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
@@ -800,7 +823,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         red_pd = jnp.maximum(cn["length"] - hv_pos - veh_len * 0.5, 0.0)
         prev_exist = prev_l >= 0
         next_exist = next_l >= 0
-        if diff:
+        if diff and wide_ops:
+            # the four blending sigmoids share (x, c) structure: one
+            # stacked chain instead of four narrow ones (bit-exact:
+            # elementwise on the same values)
+            s4 = soft(jnp.concatenate(
+                [-hv_pos, hv_pos, cn["length"] - hv_pos,
+                 hv_pos - cn["length"]], axis=0), 16.0)
+            p_sc = jnp.where(prev_exist, s4[0:1], 0.0)
+            c_sc = s4[1:2] * s4[2:3]
+            n_sc = jnp.where(next_exist, s4[3:4], 0.0)
+        elif diff:
             p_sc = jnp.where(prev_exist, soft(-hv_pos, 16.0), 0.0)
             c_sc = soft(hv_pos, 16.0) * soft(cn["length"] - hv_pos, 16.0)
             n_sc = jnp.where(next_exist, soft(hv_pos - cn["length"], 16.0),
@@ -1137,12 +1170,24 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         carry = (r, y, pos, vel, av, count, route, ridx, cap, inj_left,
                  cursor, ss_tot, ss_cnt, sg_tot, sg_cnt)
-        f32sum = lambda m: jnp.sum(m.astype(jnp.float32))
-        ev = jnp.stack([f32sum(im), f32sum(is_emit_d),
-                        f32sum(exit_none | dep_win),
-                        f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
-                        f32sum(dep_win), f32sum(remove),
-                        jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
+        if wide_ops:
+            # the 7 event counters reduce in ONE [7, Lp] sum (exact: 0/1
+            # addends) instead of 7 scalar reductions
+            evm = jnp.concatenate(
+                [im, is_emit_d, exit_none | dep_win,
+                 has_ins & ~src_is_macro, tr_win, dep_win, remove],
+                axis=0).astype(jnp.float32)
+            ev = jnp.concatenate(
+                [jnp.sum(evm, axis=1, keepdims=True),
+                 jax.lax.stop_gradient(max_wave).reshape(1, 1)],
+                axis=0).reshape(1, 8)
+        else:
+            f32sum = lambda m: jnp.sum(m.astype(jnp.float32))
+            ev = jnp.stack([f32sum(im), f32sum(is_emit_d),
+                            f32sum(exit_none | dep_win),
+                            f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
+                            f32sum(dep_win), f32sum(remove),
+                            jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
         walk_i = jnp.concatenate([found.astype(jnp.int32), wstar], axis=0)
         return carry, queue, ev, (walk_i, cdel_st,
                                   route_h.astype(jnp.int32), ridx_h)
@@ -1241,7 +1286,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         n_extra = NEXTRA if save_mode else 0
 
         def fwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
-                       inj_ref, pool_ref, *rest):
+                       *rest):
+            if wide_ops:
+                sig_ref, rest = rest[0], rest[1:]
+            inj_ref, pool_ref, rest = rest[0], rest[1], rest[2:]
             cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
             rest = rest[n_const:]
             qsum_ref, queues_ref, events_ref = rest[0], rest[1], rest[2]
@@ -1266,7 +1314,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                                sched_ref[0], mnext_ref[0],
                                                mprev_ref[0], rand_ref[0],
                                                inj_ref[:], pool_ref[:], cn,
-                                               early_exit=W >= 8)
+                                               early_exit=W >= 8,
+                                               sig_t=(sig_ref[0] if wide_ops
+                                                      else None))
             for ref, val in zip(scratch, pack(new_carry)):
                 ref[:] = val
             if save_mode:
@@ -1296,24 +1346,31 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             for _, shp, dt_ in EXTRA:
                 out_shape.append(jax.ShapeDtypeStruct((T,) + shp, dt_))
                 out_specs.append(t_spec(shp))
+        sig_specs = [t_spec((NPp, 2))] if wide_ops else []
+        sig_ops = (jnp.asarray(sig_tab),) if wide_ops else ()
         return pl.pallas_call(
             make_fwd_kernel(save_mode),
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), t_spec((1, Lp)),
-                      t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp)),
-                      full_spec((P, R, Lp)), full_spec((P_emit, R, Lp))] +
+                      t_spec((1, Lp)), t_spec((1, Lp)), t_spec((1, Lp))] +
+                     sig_specs +
+                     [full_spec((P, R, Lp)), full_spec((P_emit, R, Lp))] +
                      [full_spec(consts[k].shape) for k in const_names],
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM(shp, dt_) for _, shp, dt_ in TRAJ],
             compiler_params=seq_params,
             interpret=interpret,
-        )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          *(consts[k] for k in const_names))
+        )(action_p, sched_p, mnext_p, mprev_p, rand_p, *sig_ops, inj_p,
+          pool_p, *(consts[k] for k in const_names))
 
     # ---- backward kernel: reverse grid, one jax.vjp of step per iter ------
     def bwd_kernel(action_ref, sched_ref, mnext_ref, mprev_ref, rand_ref,
-                   inj_ref, pool_ref, g_qsum_ref, g_queues_ref, *rest):
+                   *rest):
+        if wide_ops:
+            sig_ref, rest = rest[0], rest[1:]
+        (inj_ref, pool_ref, g_qsum_ref, g_queues_ref), rest = \
+            rest[:4], rest[4:]
         cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
         rest = rest[n_const:]
         traj_refs = rest[:len(SLIM_IDX)]
@@ -1357,7 +1414,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           inj_ref[:], pool_ref[:], cn,
                                           walk_saved=walk_i,
                                           walk_saved_f=walk_f,
-                                          head_saved=(route_h_s, ridx_h_s))
+                                          head_saved=(route_h_s, ridx_h_s),
+                                          sig_t=(sig_ref[0] if wide_ops
+                                                 else None))
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -1382,12 +1441,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                      pool_p, resid, g_qsum, g_queues):
         # ``resid``: the slim carry blocks followed by the EXTRA blocks,
         # in run_forward("slim") output order
+        sig_specs = [rev_spec((NPp, 2))] if wide_ops else []
+        sig_ops = (jnp.asarray(sig_tab),) if wide_ops else ()
         return pl.pallas_call(
             bwd_kernel,
             grid=(T,),
             in_specs=[full_spec((NPp, NIp)), rev_spec((1, Lp)),
-                      rev_spec((1, Lp)), rev_spec((1, Lp)), rev_spec((1, Lp)),
-                      full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
+                      rev_spec((1, Lp)), rev_spec((1, Lp)),
+                      rev_spec((1, Lp))] + sig_specs +
+                     [full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
                       full_spec((1, QW)), rev_spec((1, QW))] +
                      [full_spec(consts[k].shape) for k in const_names] +
                      [rev_spec(TRAJ[j][1]) for j in SLIM_IDX] +
@@ -1398,8 +1460,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             for j in FDIFF],
             compiler_params=seq_params,
             interpret=interpret,
-        )(action_p, sched_p, mnext_p, mprev_p, rand_p, inj_p, pool_p,
-          g_qsum, g_queues, *(consts[k] for k in const_names), *resid)
+        )(action_p, sched_p, mnext_p, mprev_p, rand_p, *sig_ops, inj_p,
+          pool_p, g_qsum, g_queues, *(consts[k] for k in const_names),
+          *resid)
 
     # ---- custom-VJP episode over padded arrays -----------------------------
     def _outs(qsum, queues, events):
@@ -1443,11 +1506,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pad_t = lambda x, fill: jnp.pad(
             jnp.asarray(x)[:, None, :], ((0, 0), (0, 0), (0, Lp - L)),
             constant_values=fill)
+        # wide_ops: the pools enter the kernel as f32 so the per-step
+        # [P, R, Lp] casts inside the pool picks trace away (route ids are
+        # small ints — exact in f32; the picks round-trip via astype(int32))
+        pool_dt = jnp.float32 if wide_ops else jnp.int32
         inj_p = jnp.pad(
-            jnp.transpose(jnp.asarray(inj_routes, jnp.int32), (1, 2, 0)),
+            jnp.transpose(jnp.asarray(inj_routes, pool_dt), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)  # [P, R, Lp]
         pool_p = jnp.pad(
-            jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
+            jnp.transpose(jnp.asarray(emit_routes, pool_dt), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
         qsum, queues, events = episode(
             action_p, pad_t(schedule.astype(jnp.float32), 0.0),
@@ -1474,11 +1541,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pad_t = lambda x, fill: jnp.pad(
             jnp.asarray(x)[:, None, :], ((0, 0), (0, 0), (0, Lp - L)),
             constant_values=fill)
+        pool_dt = jnp.float32 if wide_ops else jnp.int32
         inj_p = jnp.pad(
-            jnp.transpose(jnp.asarray(inj_routes, jnp.int32), (1, 2, 0)),
+            jnp.transpose(jnp.asarray(inj_routes, pool_dt), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
         pool_p = jnp.pad(
-            jnp.transpose(jnp.asarray(emit_routes, jnp.int32), (1, 2, 0)),
+            jnp.transpose(jnp.asarray(emit_routes, pool_dt), (1, 2, 0)),
             ((0, 0), (0, 0), (0, Lp - L)), constant_values=-1)
         outs = run_forward(action_p, pad_t(schedule.astype(jnp.float32), 0.0),
                            pad_t(mnext.astype(jnp.int32), -1),
