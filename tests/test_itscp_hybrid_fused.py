@@ -332,14 +332,18 @@ def test_packed_episodes_match_vmapped_singles():
 
 
 
-def test_wide_ops_bit_identical():
-    """``wide_ops`` (round 3): the walk-latch fold and the K-way
-    arbitration scan rewritten as wide-row block passes must be
-    BIT-IDENTICAL to the sequential forms — rewards, queue curves, event
-    counters and action gradients all exactly equal on a 3x3 hybrid scene
-    with live emission/transfer/deposit events (the scene of
+@pytest.mark.parametrize("differentiable", [True, False])
+def test_wide_ops_bit_identical(differentiable):
+    """``wide_ops`` (round 3): the walk-latch fold, K-way arbitration
+    scan, streamed signal block, stacked sigmoids, fused event reduce and
+    f32 pools must be BIT-IDENTICAL to the sequential forms — rewards,
+    queue curves, event counters (and action gradients in soft mode) all
+    exactly equal on a 3x3 hybrid scene with live
+    emission/transfer/deposit events (the scene of
     ``test_hybrid_fused_gradient_through_emission_events``, so both the
-    arbitration winners and the leader walk actually matter)."""
+    arbitration winners and the leader walk actually matter). Hard mode
+    is covered too: the Trainer's eval path runs the hard-mode fused
+    kernel."""
     cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
                speed_limit=20.0, cell_length=5.0, policy_length=16,
                signal_length=2, simulation_frequency=10, random_seed=3,
@@ -355,8 +359,8 @@ def test_wide_ops_bit_identical():
               leader_window(env.spec.is_macro, env.base_state.route_pool))
     kernels = {
         w: make_fused_itscp_episode(env.spec, env.meta, env.config, V, R,
-                                    P, P2, differentiable=True, window=win,
-                                    interpret=True, wide_ops=w)
+                                    P, P2, differentiable=differentiable,
+                                    window=win, interpret=True, wide_ops=w)
         for w in (False, True)}
     key = jax.random.PRNGKey(0)
     T, L = env.num_timestep, env.spec.num_lanes
@@ -372,7 +376,8 @@ def test_wide_ops_bit_identical():
                          env.data.inj_routes, env.base_state.route_pool,
                          with_events=True)
         outs[w] = frun(action)
-        grads[w] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
+        if differentiable:
+            grads[w] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
     reward, queues, events = outs[False]
     reward_w, queues_w, events_w = outs[True]
     assert int(np.asarray(events)[:, 1].sum()) >= 2, \
@@ -380,7 +385,8 @@ def test_wide_ops_bit_identical():
     assert float(reward_w) == float(reward)
     np.testing.assert_array_equal(np.asarray(queues_w), np.asarray(queues))
     np.testing.assert_array_equal(np.asarray(events_w), np.asarray(events))
-    np.testing.assert_array_equal(grads[True], grads[False])
+    if differentiable:
+        np.testing.assert_array_equal(grads[True], grads[False])
 
 
 @pytest.mark.slow
