@@ -459,7 +459,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
              walk_saved=None, walk_saved_f=None, head_saved=None,
-             sig_t=None):
+             sig_t=None, conv_saved=None):
         # Per-vehicle IDM parameters are NOT carried: every vehicle in the
         # ITSCP scene is created with the same ``dflt`` values (injection
         # and emission both use default_micro_vehicle semantics,
@@ -932,23 +932,39 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         hv_a = pick_v(av, ohv_h)
         h_exists = count > 0
         hnext = next_l
-        # destination probes for BOTH event families (macro->micro
-        # emission at mnext, head exits at hnext) in ONE gather; every
-        # row only feeds event PREDICATES -> stop-gradient
-        gmh_rows = jnp.concatenate([cn["is_macro"], count_row, pos[:1],
-                                    cn["length"]], axis=0)
-        if banded:
-            ohmh = None
-            gmh = gather_multi(gmh_rows, [mnext_t, hnext], sg=True)
+        if conv_saved is not None:
+            # backward replay: the conversion section's discrete outcomes
+            # (arbitration winners + event/win flags) were saved per step
+            # by the forward, so the two stop-gradient probe gathers (gmh
+            # at [mnext, hnext], GK at the K predecessor lists) and the
+            # predicate/arbitration chain are skipped entirely — they
+            # carry no gradient and replay deterministically. Requires
+            # head_saved (the route-pool picks reference full-Gall rows).
+            best = conv_saved[0:1]
+            dep_best = conv_saved[1:2]
+            next_is_micro = conv_saved[2:3] > 0
+            emit_win = conv_saved[3:4] > 0
+            tr_win = conv_saved[4:5] > 0
+            dep_win = conv_saved[5:6] > 0
+            exit_none = conv_saved[6:7] > 0
         else:
-            ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
-                    oh_multi([mnext_t, hnext]))
-            gmh = jax.lax.stop_gradient(jnp.dot(
-                gmh_rows, ohmh,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
-        gm = gmh[:, :Lp]
-        next_is_micro = macro_src & (gm[0:1] < 0.5)
+            # destination probes for BOTH event families (macro->micro
+            # emission at mnext, head exits at hnext) in ONE gather; every
+            # row only feeds event PREDICATES -> stop-gradient
+            gmh_rows = jnp.concatenate([cn["is_macro"], count_row, pos[:1],
+                                        cn["length"]], axis=0)
+            if banded:
+                ohmh = None
+                gmh = gather_multi(gmh_rows, [mnext_t, hnext], sg=True)
+            else:
+                ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
+                        oh_multi([mnext_t, hnext]))
+                gmh = jax.lax.stop_gradient(jnp.dot(
+                    gmh_rows, ohmh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+            gm = gmh[:, :Lp]
+            next_is_micro = macro_src & (gm[0:1] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
         slot_oh = ((cn["next_k"] == mnext_t) &
                    (cn["next_k"] >= 0)).astype(jnp.float32)  # [K, Lp]
@@ -956,70 +972,74 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cap = cap + slot_oh * inc
         cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
 
-        dest_count = gm[1:2]
-        free_n = jnp.where(dest_count > 0.5,
-                           gm[2:3] - 0.5 * veh_len, gm[3:4])
-        want_emit = (next_is_micro &
-                     (jax.lax.stop_gradient(cap_val) >= veh_len) &
-                     (free_n >= veh_len) & (dest_count < V))
-
-        past_end = h_exists & (hv_pos >= cn["length"])
-        hn_macro = (hnext >= 0) & (gmh[0:1, Lp:] > 0.5)
-        hn_micro = (hnext >= 0) & ~hn_macro
-        exit_none = past_end & (hnext < 0)
-        want_tr = past_end & hn_micro & (gmh[1:2, Lp:] < V)
-        want_dep = h_exists & hn_macro & (hv_pos > cn["length"] + veh_len)
-
-        # arbitration over each dest's predecessor list: the 4 candidate
-        # rows gathered at ALL K static predecessor lists in one matmul
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-        mnext_f = mnext_t.astype(jnp.float32)
-        tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
-        dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
-        we_f = want_emit.astype(jnp.float32)
-        gk_rows = jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt],
-                                  axis=0)
-        if banded:
-            GK = gather_multi(gk_rows, None, sg=True,
-                              prebuilt_chunks=cn["ohpk_b"])
-        else:
-            ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
-                    (cn["ohpk_c"] if hoist_ohpk else
-                     oh_cat(cn["prev_cat"])))
-            GK = jax.lax.stop_gradient(jnp.dot(
-                gk_rows, ohpk, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
-        if wide_ops:
-            # all K predecessor slots tested at once on the wide GK rows;
-            # the winner (lowest predecessor id) is an exact int block-min,
-            # identical to the sequential K-fold
-            okw = cn["prev_cat"] >= 0  # invalid slots gather zeros: gated
-            lane_tile = jnp.concatenate([lane_ids] * K, axis=1)
-            tgtw = GK[0:1].astype(jnp.int32)
-            c_emitw = okw & (GK[1:2] > 0.5) & (tgtw == lane_tile)
-            c_trw = okw & (GK[2:3].astype(jnp.int32) == lane_tile)
-            best = blk_tree(jnp.where(c_emitw | c_trw, cn["prev_cat"], Lp),
-                            jnp.minimum, K)
-            c_depw = okw & (GK[3:4].astype(jnp.int32) == lane_tile)
-            dep_best = blk_tree(jnp.where(c_depw, cn["prev_cat"], Lp),
+        if conv_saved is None:
+            dest_count = gm[1:2]
+            free_n = jnp.where(dest_count > 0.5,
+                               gm[2:3] - 0.5 * veh_len, gm[3:4])
+            want_emit = (next_is_micro &
+                         (jax.lax.stop_gradient(cap_val) >= veh_len) &
+                         (free_n >= veh_len) & (dest_count < V))
+
+            past_end = h_exists & (hv_pos >= cn["length"])
+            hn_macro = (hnext >= 0) & (gmh[0:1, Lp:] > 0.5)
+            hn_micro = (hnext >= 0) & ~hn_macro
+            exit_none = past_end & (hnext < 0)
+            want_tr = past_end & hn_micro & (gmh[1:2, Lp:] < V)
+            want_dep = h_exists & hn_macro & (hv_pos >
+                                              cn["length"] + veh_len)
+
+            # arbitration over each dest's predecessor list: the 4
+            # candidate rows gathered at ALL K static predecessor lists
+            # in one matmul
+            mnext_f = mnext_t.astype(jnp.float32)
+            tr_tgt = jnp.where(want_tr, hnext, -2).astype(jnp.float32)
+            dep_tgt = jnp.where(want_dep, hnext, -2).astype(jnp.float32)
+            we_f = want_emit.astype(jnp.float32)
+            gk_rows = jnp.concatenate([mnext_f, we_f, tr_tgt, dep_tgt],
+                                      axis=0)
+            if banded:
+                GK = gather_multi(gk_rows, None, sg=True,
+                                  prebuilt_chunks=cn["ohpk_b"])
+            else:
+                ohpk = (cn["dummy_oh"][:, :K * Lp] if "ohpk" in _ablate else
+                        (cn["ohpk_c"] if hoist_ohpk else
+                         oh_cat(cn["prev_cat"])))
+                GK = jax.lax.stop_gradient(jnp.dot(
+                    gk_rows, ohpk, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+            if wide_ops:
+                # all K predecessor slots tested at once on the wide GK
+                # rows; the winner (lowest predecessor id) is an exact
+                # int block-min, identical to the sequential K-fold
+                okw = cn["prev_cat"] >= 0  # invalid slots gather zeros
+                lane_tile = jnp.concatenate([lane_ids] * K, axis=1)
+                tgtw = GK[0:1].astype(jnp.int32)
+                c_emitw = okw & (GK[1:2] > 0.5) & (tgtw == lane_tile)
+                c_trw = okw & (GK[2:3].astype(jnp.int32) == lane_tile)
+                best = blk_tree(jnp.where(c_emitw | c_trw,
+                                          cn["prev_cat"], Lp),
                                 jnp.minimum, K)
-        else:
-            best = jnp.full((1, Lp), Lp, jnp.int32)
-            dep_best = jnp.full((1, Lp), Lp, jnp.int32)
-            for k in range(K):
-                pk = cn["prev_k"][k: k + 1]  # [1, Lp]
-                ok = pk >= 0  # every candidate test below is gated on ok,
-                # so the zeros a batched gather yields at invalid pk are
-                # harmless
-                gk = GK[:, k * Lp:(k + 1) * Lp]
-                tgt = gk[0:1].astype(jnp.int32)
-                c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
-                c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
-                cand = jnp.where(c_emit | c_tr, pk, Lp)
-                best = jnp.minimum(best, cand)
-                cand_d = jnp.where(ok & (gk[3:4].astype(jnp.int32) ==
-                                         lane_ids), pk, Lp)
-                dep_best = jnp.minimum(dep_best, cand_d)
+                c_depw = okw & (GK[3:4].astype(jnp.int32) == lane_tile)
+                dep_best = blk_tree(jnp.where(c_depw, cn["prev_cat"], Lp),
+                                    jnp.minimum, K)
+            else:
+                best = jnp.full((1, Lp), Lp, jnp.int32)
+                dep_best = jnp.full((1, Lp), Lp, jnp.int32)
+                for k in range(K):
+                    pk = cn["prev_k"][k: k + 1]  # [1, Lp]
+                    ok = pk >= 0  # every candidate test below is gated on
+                    # ok, so the zeros a batched gather yields at invalid
+                    # pk are harmless
+                    gk = GK[:, k * Lp:(k + 1) * Lp]
+                    tgt = gk[0:1].astype(jnp.int32)
+                    c_emit = ok & (gk[1:2] > 0.5) & (tgt == lane_ids)
+                    c_tr = ok & (gk[2:3].astype(jnp.int32) == lane_ids)
+                    cand = jnp.where(c_emit | c_tr, pk, Lp)
+                    best = jnp.minimum(best, cand)
+                    cand_d = jnp.where(ok & (gk[3:4].astype(jnp.int32) ==
+                                             lane_ids), pk, Lp)
+                    dep_best = jnp.minimum(dep_best, cand_d)
 
         # the emitted vehicle's ancillary mass: value veh_len, gradient of
         # the source lane's flux capacitor (the reference's nv.a trick,
@@ -1040,34 +1060,58 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # blocks 1-2 (mnext, hnext) are bit-identical to ``ohmh`` above, so
         # reuse it and build only the [sdep, src] half (lane-axis concat of
         # two sublane-offset-0 values — Mosaic-safe, unlike slice concats)
-        oh4 = None if banded else (
-            cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
-            jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
-        # ONE matmul for both row families; the discrete rows' slice is
-        # stop-gradient'd AFTER the dot (their cotangent is structurally
-        # zero, so the merged transpose routes the same gradient as the
-        # former two-dot form — and one dot replaces two)
-        n_sg = 5 + R
-        gall_rows = jnp.concatenate(
-            [best.astype(jnp.float32),
-             dep_best.astype(jnp.float32), cn["is_macro"],
-             cn["length"], ridx_h.astype(jnp.float32),
-             route_h.astype(jnp.float32),
-             hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
-        if banded:
-            Gall = gather_multi(gall_rows, [mnext_t, hnext, sdep, src])
+        if conv_saved is not None:
+            # reduced replay gather: the verdict blocks (mnext/hnext) are
+            # replaced by the saved win flags and the discrete rows (ids,
+            # ridx, the R route-id rows) are dead under head_saved, so
+            # only [is_macro, length | float state] at [sdep, src] remain
+            # — 7 rows x [Lp, 2Lp] instead of (10+R) x [Lp, 4Lp]
+            gall_rows = jnp.concatenate(
+                [cn["is_macro"], cn["length"],
+                 hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
+            if banded:
+                Gall = gather_multi(gall_rows, [sdep, src])
+            else:
+                Gall = jnp.dot(gall_rows, oh_multi([sdep, src]),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            Gsg = jax.lax.stop_gradient(Gall[:2])
+            Gdf = Gall[2:]
+            b_dep, b_src = slice(0, Lp), slice(Lp, 2 * Lp)
+            i_mac, i_len = 0, 1
         else:
-            Gall = jnp.dot(
-                gall_rows, oh4, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        Gsg = jax.lax.stop_gradient(Gall[:n_sg])
-        Gdf = Gall[n_sg:]
-        b_mn, b_hn = slice(0, Lp), slice(Lp, 2 * Lp)
-        b_dep, b_src = slice(2 * Lp, 3 * Lp), slice(3 * Lp, 4 * Lp)
-        emit_win = want_emit & (Gsg[0:1, b_mn].astype(jnp.int32) ==
+            oh4 = None if banded else (
+                cn["dummy_oh"][:, :4 * Lp] if "oh4" in _ablate else
+                jnp.concatenate([ohmh, oh_multi([sdep, src])], axis=1))
+            # ONE matmul for both row families; the discrete rows' slice
+            # is stop-gradient'd AFTER the dot (their cotangent is
+            # structurally zero, so the merged transpose routes the same
+            # gradient as the former two-dot form — and one dot replaces
+            # two)
+            n_sg = 5 + R
+            gall_rows = jnp.concatenate(
+                [best.astype(jnp.float32),
+                 dep_best.astype(jnp.float32), cn["is_macro"],
+                 cn["length"], ridx_h.astype(jnp.float32),
+                 route_h.astype(jnp.float32),
+                 hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
+            if banded:
+                Gall = gather_multi(gall_rows, [mnext_t, hnext, sdep, src])
+            else:
+                Gall = jnp.dot(
+                    gall_rows, oh4, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            Gsg = jax.lax.stop_gradient(Gall[:n_sg])
+            Gdf = Gall[n_sg:]
+            b_mn, b_hn = slice(0, Lp), slice(Lp, 2 * Lp)
+            b_dep, b_src = slice(2 * Lp, 3 * Lp), slice(3 * Lp, 4 * Lp)
+            emit_win = want_emit & (Gsg[0:1, b_mn].astype(jnp.int32) ==
+                                    lane_ids)
+            tr_win = want_tr & (Gsg[0:1, b_hn].astype(jnp.int32) ==
                                 lane_ids)
-        tr_win = want_tr & (Gsg[0:1, b_hn].astype(jnp.int32) == lane_ids)
-        dep_win = want_dep & (Gsg[1:2, b_hn].astype(jnp.int32) == lane_ids)
+            dep_win = want_dep & (Gsg[1:2, b_hn].astype(jnp.int32) ==
+                                  lane_ids)
+            i_mac, i_len = 2, 3
 
         # removals
         remove = exit_none | dep_win | tr_win
@@ -1079,29 +1123,31 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cap = cap * (1.0 - slot_oh) + slot_oh * cap_dec
 
         # inserts: all per-src fields ride the ``b_src`` block
-        src_is_macro = Gsg[2:3, b_src] > 0.5
+        src_is_macro = Gsg[i_mac:i_mac + 1, b_src] > 0.5
         is_emit_d = has_ins & src_is_macro
         new_pos_d = jnp.where(is_emit_d, 0.0,
-                              Gdf[0:1, b_src] - Gsg[3:4, b_src])
+                              Gdf[0:1, b_src] - Gsg[i_len:i_len + 1, b_src])
         new_vel_d = jnp.where(is_emit_d, Gdf[3:4, b_src], Gdf[1:2, b_src])
         new_a_d = jnp.where(is_emit_d, Gdf[4:5, b_src], Gdf[2:3, b_src])
-        # route: emission pops dest pool; transfer carries src head route
-        ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
-                == (cursor % P_emit)[None]).astype(jnp.float32))
-        pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
-                             axis=0)  # [R, Lp]
-        src_route = Gsg[5:, b_src]  # [R, Lp]
-        new_route_d = jnp.where(is_emit_d, pool_route, src_route).astype(
-            jnp.int32)
-        new_ridx_d = jnp.where(
-            is_emit_d, 0, Gsg[4:5, b_src].astype(jnp.int32) + 1).astype(
-            jnp.int32)
 
         hm = has_ins
         pos = tail_insert(pos, new_pos_d[0], hm)
         vel = tail_insert(vel, new_vel_d[0], hm)
         av = tail_insert(av, new_a_d[0], hm)
         if head_saved is None:
+            # route: emission pops dest pool; transfer carries src head
+            # route (rows 4:5+ of the full Gall — only built when the
+            # route containers are actually updated)
+            ohc = ((jax.lax.broadcasted_iota(jnp.int32, (P_emit, 1, Lp), 0)
+                    == (cursor % P_emit)[None]).astype(jnp.float32))
+            pool_route = jnp.sum(emit_routes.astype(jnp.float32) * ohc,
+                                 axis=0)  # [R, Lp]
+            src_route = Gsg[5:, b_src]  # [R, Lp]
+            new_route_d = jnp.where(is_emit_d, pool_route,
+                                    src_route).astype(jnp.int32)
+            new_ridx_d = jnp.where(
+                is_emit_d, 0, Gsg[4:5, b_src].astype(jnp.int32) + 1).astype(
+                jnp.int32)
             route = jnp.where(hm[None], jnp.concatenate(
                 [new_route_d[None], route[:-1]], axis=0), route)
             ridx = tail_insert(ridx, new_ridx_d[0], hm)
@@ -1109,7 +1155,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cursor = cursor + is_emit_d.astype(jnp.int32)
 
         # micro -> macro deposits (fields ride the ``b_dep`` block)
-        v_head = Gdf[0:1, b_dep] - Gsg[3:4, b_dep]
+        v_head = Gdf[0:1, b_dep] - Gsg[i_len:i_len + 1, b_dep]
         v_tail = v_head - veh_len
         # Mosaic requires integer iota; cast after
         cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, Lp), 0).astype(
@@ -1189,8 +1235,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             f32sum(dep_win), f32sum(remove),
                             jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
         walk_i = jnp.concatenate([found.astype(jnp.int32), wstar], axis=0)
-        return carry, queue, ev, (walk_i, cdel_st,
-                                  route_h.astype(jnp.int32), ridx_h)
+        extra = (walk_i, cdel_st, route_h.astype(jnp.int32), ridx_h)
+        if wide_ops:
+            # the conversion section's discrete outcomes, saved so the
+            # backward can skip its probe gathers + predicate chain
+            conv_i = jnp.concatenate(
+                [best, dep_best,
+                 next_is_micro.astype(jnp.int32),
+                 emit_win.astype(jnp.int32), tr_win.astype(jnp.int32),
+                 dep_win.astype(jnp.int32), exit_none.astype(jnp.int32),
+                 jnp.zeros((1, Lp), jnp.int32)], axis=0)
+            extra += (conv_i,)
+        return carry, queue, ev, extra
 
     # =====================================================================
     # Carry layout for grid streaming. Order matches the ``step`` carry
@@ -1232,6 +1288,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
              ("walk_f", (1, Lp), jnp.float32),
              ("route_h", (R, Lp), jnp.int32),
              ("ridx_h", (1, Lp), jnp.int32))
+    if wide_ops:
+        # discrete conversion outcomes (arbitration winners + win flags):
+        # the backward skips the gmh/GK probe gathers and the predicate
+        # chain by replaying these
+        EXTRA += (("conv_i", (8, Lp), jnp.int32),)
     NEXTRA = len(EXTRA)
 
     def pack(carry):
@@ -1375,7 +1436,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rest = rest[n_const:]
         traj_refs = rest[:len(SLIM_IDX)]
         rest = rest[len(SLIM_IDX):]
-        walk_i_ref, walk_f_ref, rh_ref, rx_ref = rest[:NEXTRA]
+        extra_refs = rest[:NEXTRA]
+        walk_i_ref, walk_f_ref, rh_ref, rx_ref = extra_refs[:4]
+        conv_ref = extra_refs[4] if wide_ops else None
         rest = rest[NEXTRA:]
         g_action_ref = rest[0]
         gscratch = rest[1:]
@@ -1384,6 +1447,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         rand_row = rand_ref[0]
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
         route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
+        conv_s = conv_ref[0] if wide_ops else None
 
         @pl.when(i == 0)
         def _init():
@@ -1416,7 +1480,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           walk_saved_f=walk_f,
                                           head_saved=(route_h_s, ridx_h_s),
                                           sig_t=(sig_ref[0] if wide_ops
-                                                 else None))
+                                                 else None),
+                                          conv_saved=conv_s)
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -1596,7 +1661,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                     walk_saved=jnp.zeros((2, Lp), jnp.int32),
                     walk_saved_f=jnp.zeros((1, Lp)),
                     head_saved=(jnp.zeros((R, Lp), jnp.int32),
-                                jnp.zeros((1, Lp), jnp.int32)))
+                                jnp.zeros((1, Lp), jnp.int32)),
+                    conv_saved=(jnp.zeros((8, Lp), jnp.int32)
+                                if wide_ops else None))
                 out = pack(new)
                 return tuple(out[j] for j in FDIFF), queue
             _, vjp = jax.vjp(f, floats, action2d)
