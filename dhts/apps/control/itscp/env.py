@@ -681,7 +681,8 @@ class ItscpEnv:
             P2 = self.base_state.route_pool.shape[1]
             setattr(self, cache, make_fused_itscp_episode(
                 self.spec, self.meta, self.config, V, R, P, P2,
-                differentiable=differentiable, window=win))
+                differentiable=differentiable, window=win,
+                wide_ops=self.config.get("use_wide_ops")))
             self._fused_win = win
         fn = getattr(self, cache)
         c = self.config
@@ -806,7 +807,7 @@ class ItscpEnv:
         kern = make_fused_itscp_episode(
             pspec, pmeta, c, V, R, P, P2, differentiable=True,
             window=self._fused_win_needed, episodes=B,
-            ep_of_lane=ep_of_lane)
+            ep_of_lane=ep_of_lane, wide_ops=c.get("use_wide_ops"))
 
         bd = self.batch_data
         # [B, T, L] -> [T, B*L]; route entries are lane ids -> offset

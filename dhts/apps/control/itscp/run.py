@@ -57,6 +57,10 @@ def main(argv=None):
                         "--fused_episode; small scenes only — measured "
                         "1.4x aggregate at the 1x1 macro preset, slower "
                         "than vmap at 3x3+)")
+    p.add_argument("--wide_ops", action="store_true",
+                   help="with --fused_episode: build the kernel with the "
+                        "wide-row op-stream restructuring (value-identical; "
+                        "see ops/pallas/itscp_hybrid_episode.py wide_ops)")
     args = p.parse_args(argv)
     if args.packed:
         args.fused_episode = True
@@ -68,7 +72,8 @@ def main(argv=None):
         policy_length=args.simulation_length,
         signal_length=args.signal_length, mode=args.mode,
         random_seed=args.seed,
-        use_fused_episode=args.fused_episode),
+        use_fused_episode=args.fused_episode,
+        use_wide_ops=args.wide_ops or None),
         schedule_fn=PROBLEMS[args.problem])
 
     mesh = None
