@@ -593,6 +593,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             route_h = pick_route(route, ohv_h)  # [R, Lp]
             ridx_h = pick_v(ridx.astype(jnp.float32),
                             ohv_h).astype(jnp.int32)
+        elif head_saved[0] is None:
+            # wide_ops backward replay: every route-derived value the step
+            # needs (the walk's prev/curr/next lane ids, the conversion
+            # outcomes) rides other residuals, so the head route row /
+            # route index are neither saved nor read at all
+            route_h = ridx_h = None
         else:
             # backward replay: the head vehicle's route row and route index
             # were saved per step by the forward (they are discrete and
@@ -708,12 +714,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # backward replay: the walk's terminating state was saved as a
             # per-step residual by the forward (it is deterministic and
             # carries no gradient), so the W-hop loop is skipped entirely
-            ent = batched_route_pick(1)
-            prev_l, curr_l, next_l = (ent[:, :Lp], ent[:, Lp:2 * Lp],
-                                      ent[:, 2 * Lp:])
             found = walk_saved[0:1] > 0
             wstar = walk_saved[1:2]
             cdel_st = walk_saved_f
+            if wide_ops:
+                # the head's prev/curr/next route lane ids ride the same
+                # residual: no route-container pick in the backward at all
+                prev_l, curr_l, next_l = (walk_saved[2:3], walk_saved[3:4],
+                                          walk_saved[4:5])
+            else:
+                ent = batched_route_pick(1)
+                prev_l, curr_l, next_l = (ent[:, :Lp], ent[:, Lp:2 * Lp],
+                                          ent[:, 2 * Lp:])
         elif early_exit:
             prev_l = pick_r(route_h, ridx_h - 1)
             curr_l = pick_r(route_h, ridx_h)
@@ -1234,18 +1246,27 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                             f32sum(has_ins & ~src_is_macro), f32sum(tr_win),
                             f32sum(dep_win), f32sum(remove),
                             jax.lax.stop_gradient(max_wave)]).reshape(1, 8)
-        walk_i = jnp.concatenate([found.astype(jnp.int32), wstar], axis=0)
-        extra = (walk_i, cdel_st, route_h.astype(jnp.int32), ridx_h)
+        if route_h is None:  # replay: residuals are inputs, not outputs
+            return carry, queue, ev, ()
         if wide_ops:
-            # the conversion section's discrete outcomes, saved so the
-            # backward can skip its probe gathers + predicate chain
+            # walk outcome + the head's prev/curr/next route lane ids in
+            # one row stack; conversion outcomes in another — the backward
+            # replays both and never reads route_h/ridx_h (whose [R+1, Lp]
+            # per-step residual stream is dropped entirely)
+            walk_i = jnp.concatenate(
+                [found.astype(jnp.int32), wstar, prev_l, curr_l, next_l],
+                axis=0)
             conv_i = jnp.concatenate(
                 [best, dep_best,
                  next_is_micro.astype(jnp.int32),
                  emit_win.astype(jnp.int32), tr_win.astype(jnp.int32),
                  dep_win.astype(jnp.int32), exit_none.astype(jnp.int32),
                  jnp.zeros((1, Lp), jnp.int32)], axis=0)
-            extra += (conv_i,)
+            extra = (walk_i, cdel_st, conv_i)
+        else:
+            walk_i = jnp.concatenate([found.astype(jnp.int32), wstar],
+                                     axis=0)
+            extra = (walk_i, cdel_st, route_h.astype(jnp.int32), ridx_h)
         return carry, queue, ev, extra
 
     # =====================================================================
@@ -1284,15 +1305,20 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     FULL_IDX = tuple(range(NT))
     # step-computed residuals appended after the carry blocks: the walk's
     # terminating state and the head vehicle's route row / route index
-    EXTRA = (("walk_i", (2, Lp), jnp.int32),
-             ("walk_f", (1, Lp), jnp.float32),
-             ("route_h", (R, Lp), jnp.int32),
-             ("ridx_h", (1, Lp), jnp.int32))
     if wide_ops:
-        # discrete conversion outcomes (arbitration winners + win flags):
-        # the backward skips the gmh/GK probe gathers and the predicate
-        # chain by replaying these
-        EXTRA += (("conv_i", (8, Lp), jnp.int32),)
+        # walk outcome + head prev/curr/next route ids, then the discrete
+        # conversion outcomes (arbitration winners + win flags): the
+        # backward replays these and skips the route picks, the gmh/GK
+        # probe gathers and the predicate chain — and the route_h/ridx_h
+        # planes are not streamed at all
+        EXTRA = (("walk_i", (5, Lp), jnp.int32),
+                 ("walk_f", (1, Lp), jnp.float32),
+                 ("conv_i", (8, Lp), jnp.int32))
+    else:
+        EXTRA = (("walk_i", (2, Lp), jnp.int32),
+                 ("walk_f", (1, Lp), jnp.float32),
+                 ("route_h", (R, Lp), jnp.int32),
+                 ("ridx_h", (1, Lp), jnp.int32))
     NEXTRA = len(EXTRA)
 
     def pack(carry):
@@ -1437,17 +1463,21 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         traj_refs = rest[:len(SLIM_IDX)]
         rest = rest[len(SLIM_IDX):]
         extra_refs = rest[:NEXTRA]
-        walk_i_ref, walk_f_ref, rh_ref, rx_ref = extra_refs[:4]
-        conv_ref = extra_refs[4] if wide_ops else None
         rest = rest[NEXTRA:]
         g_action_ref = rest[0]
         gscratch = rest[1:]
         i = pl.program_id(0)
         t = T - 1 - i
         rand_row = rand_ref[0]
+        if wide_ops:
+            walk_i_ref, walk_f_ref, conv_ref = extra_refs
+            route_h_s = ridx_h_s = None
+            conv_s = conv_ref[0]
+        else:
+            walk_i_ref, walk_f_ref, rh_ref, rx_ref = extra_refs
+            route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
+            conv_s = None
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
-        route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
-        conv_s = conv_ref[0] if wide_ops else None
 
         @pl.when(i == 0)
         def _init():
@@ -1658,10 +1688,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 new, queue, _, _ = step(
                     unpack(full), t, a, sched, mnext, mprev, rand, inj,
                     pool, cnj,
-                    walk_saved=jnp.zeros((2, Lp), jnp.int32),
+                    walk_saved=jnp.zeros((5 if wide_ops else 2, Lp),
+                                         jnp.int32),
                     walk_saved_f=jnp.zeros((1, Lp)),
-                    head_saved=(jnp.zeros((R, Lp), jnp.int32),
-                                jnp.zeros((1, Lp), jnp.int32)),
+                    head_saved=((None, None) if wide_ops else
+                                (jnp.zeros((R, Lp), jnp.int32),
+                                 jnp.zeros((1, Lp), jnp.int32))),
                     conv_saved=(jnp.zeros((8, Lp), jnp.int32)
                                 if wide_ops else None))
                 out = pack(new)
