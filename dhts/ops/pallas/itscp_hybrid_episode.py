@@ -505,20 +505,25 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
 
         # ---- injection (env lines: free space, rand < incoming, pool left)
-        free = jnp.where(count > 0, pos[:1] - 0.5 * veh_len, cn["length"])
-        inject = ((cn["has_prev"] == 0) & (micro_row > 0) &
+        if conv_saved is not None:
+            # replay: the injection flag was saved (conv_i row 7), so the
+            # free-space/rand predicate chain is skipped
+            im = conv_saved[7:8] > 0
+        else:
+            free = jnp.where(count > 0, pos[:1] - 0.5 * veh_len,
+                             cn["length"])
+            im = ((cn["has_prev"] == 0) & (micro_row > 0) &
                   (free > 0.5 * veh_len) & (rand_t < incoming) &
                   (inj_left > 0) & (count < V))
-        pool_idx = jnp.clip(P - inj_left, 0, P - 1)
-        ohp = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
-                pool_idx[None]).astype(jnp.float32))
-        new_route = jnp.sum(inj_routes.astype(jnp.float32) * ohp,
-                            axis=0).astype(jnp.int32)  # [R, Lp]
-        im = inject
         pos = tail_insert(pos, jnp.zeros((Lp,)), im)
         vel = tail_insert(vel, jnp.zeros((Lp,)), im)
         av = tail_insert(av, jnp.full((Lp,), veh_len), im)
         if head_saved is None:
+            pool_idx = jnp.clip(P - inj_left, 0, P - 1)
+            ohp = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
+                    pool_idx[None]).astype(jnp.float32))
+            new_route = jnp.sum(inj_routes.astype(jnp.float32) * ohp,
+                                axis=0).astype(jnp.int32)  # [R, Lp]
             route = jnp.where(im[None], jnp.concatenate(
                 [new_route[None], route[:-1]], axis=0), route)
             ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
@@ -1261,7 +1266,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                  next_is_micro.astype(jnp.int32),
                  emit_win.astype(jnp.int32), tr_win.astype(jnp.int32),
                  dep_win.astype(jnp.int32), exit_none.astype(jnp.int32),
-                 jnp.zeros((1, Lp), jnp.int32)], axis=0)
+                 im.astype(jnp.int32)], axis=0)
             extra = (walk_i, cdel_st, conv_i)
         else:
             walk_i = jnp.concatenate([found.astype(jnp.int32), wstar],
