@@ -164,6 +164,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     n_chunks = Lp // chunk_c
     banded = (Lp >= 512 and band > 0 and _pad <= 2 * _LANE and
               win < Lp and not _ablate)
+    # wide_ops + banded: the walk's hop gathers carry two extra rows
+    # (leader tail pos/vel) latched at the terminating hop, so the
+    # forward skips the dense [Lp, Lp] leader-field gather at wstar —
+    # one of the two stated O(Lp^2) floors of the banded scaling table.
+    # The backward replay keeps the differentiable wstar gather (the
+    # latched rows are stop-gradient walk data). Only the early-exit
+    # walk (W >= 8, which every banded scene takes) is instrumented.
+    lead_latch = banded and wide_ops and W >= 8
     chunk_starts = tuple(
         min(max(chunk_c * j - _pad, 0), Lp - win)
         for j in range(n_chunks)) if banded else ()
@@ -632,9 +640,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # accumulated gap (value unchanged: base - stop_grad(base) == 0).
         base = cn["length"] - hv_pos - veh_len * 0.5
 
-        def walk_latch(wl, gw, done, found, wstar, cdel_st, cur_delta):
+        def walk_latch(wl, gw, done, found, wstar, cdel_st, cur_delta,
+                       *lead):
             """One hop's latch logic on already-gathered [is_macro, count,
-            length] rows (elementwise on [1, Lp] rows only)."""
+            length] rows (elementwise on [1, Lp] rows only). With
+            ``lead_latch``, ``gw`` carries two extra rows (leader tail
+            pos/vel) latched at the terminating hop — the values the
+            banded forward otherwise re-gathers densely at ``wstar``."""
             exists = wl >= 0
             w_macro = gw[0:1] > 0.5
             occupied = exists & ~w_macro & (gw[1:2] > 0.5)
@@ -646,7 +658,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             found = found | term_leader
             done = done | term_default | term_leader
             cur_delta = jnp.where(~done, cur_delta + gw[2:3], cur_delta)
-            return done, found, wstar, cdel_st, cur_delta
+            if lead:
+                lead = (jnp.where(term_leader, gw[3:4], lead[0]),
+                        jnp.where(term_leader, gw[4:5], lead[1]))
+            return (done, found, wstar, cdel_st, cur_delta) + lead
 
         def walk_latch_wide(wl_cat, GW):
             """All W hops' latch logic in one pass over the [*, W*Lp] wide
@@ -685,15 +700,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             cdel_st = jnp.where(found, acc, 0.0)
             return found, wstar, cdel_st
 
-        def walk_hop(o, done, found, wstar, cdel_st, cur_delta):
+        def walk_hop(o, done, found, *rest):
             j = ridx_h + 1 + o
             wl = pick_r(route_h, j)  # [1, Lp] lane id or -1
-            gw = gather_rows_sg([cn["is_macro"], count_row, cn["length"]],
-                                wl,
+            rows = [cn["is_macro"], count_row, cn["length"]]
+            if lead_latch:
+                rows += [pos[:1], vel[:1]]
+            gw = gather_rows_sg(rows, wl,
                                 oh=(cn["dummy_oh"][:, :Lp]
                                     if "walk" in _ablate else None))
-            return walk_latch(wl, gw, done, found, wstar, cdel_st,
-                              cur_delta)
+            return walk_latch(wl, gw, done, found, *rest)
 
         def batched_route_pick(n_extra):
             """Route entries at (ridx-1, ridx, ridx+1 .. ridx+n_extra) for
@@ -757,11 +773,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 # picked as next_l), so the always-executed first hop
                 # gathers banded; the loop handles hops 1+ (targets o
                 # hops down the route — unbounded) densely
+                gw0_rows = [cn["is_macro"], count_row, cn["length"]]
+                if lead_latch:
+                    gw0_rows += [pos[:1], vel[:1]]
                 gw0 = gather_multi(
-                    jnp.concatenate([cn["is_macro"], count_row,
-                                     cn["length"]], axis=0), [next_l],
-                    sg=True)
-                w_init = walk_latch(next_l, gw0, *walk0)
+                    jnp.concatenate(gw0_rows, axis=0), [next_l], sg=True)
+                walk0_l = walk0 + ((jnp.zeros((1, Lp)), jnp.zeros((1, Lp)))
+                                   if lead_latch else ())
+                w_init = walk_latch(next_l, gw0, *walk0_l)
                 st0 = ((jnp.ones((), jnp.int32),
                         w_init[0].astype(jnp.int32),
                         w_init[1].astype(jnp.int32)) + w_init[2:])
@@ -771,7 +790,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         walk0[1].astype(jnp.int32)) + walk0[2:])
             st = jax.lax.while_loop(w_cond, w_body, st0)
             done, found = st[1] > 0, st[2] > 0
-            wstar, cdel_st, cur_delta = st[3:]
+            wstar, cdel_st, cur_delta = st[3:6]
+            if lead_latch:
+                # leader tail fields latched during the walk: the dense
+                # [Lp, Lp] gather at wstar below is skipped in the forward
+                gt_latched = jnp.concatenate([st[6], st[7]], axis=0)
         else:
             # Batched walk (small W): route ids for ALL hops plus the
             # prev/curr neighbours in one pick, then ONE [3, W*Lp] gather
@@ -810,11 +833,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             boundary_out = boundary_rows(boundary_gather())
         bl_r, bl_u, br_r, br_u = boundary_out
         if banded:
-            # leader tail fields at wstar (a walk result — unbounded) stay
-            # dense but drop to a 2-row dot; the 3 signal lookups are
+            # leader tail fields at wstar (a walk result — unbounded):
+            # latched during the walk when lead_latch (forward kernels),
+            # else a dense 2-row dot; the 3 signal lookups are
             # route-adjacent -> banded
-            gt = gather_rows([pos[:1], vel[:1]],
-                             jnp.where(found, wstar, -1))
+            if lead_latch and walk_saved is None:
+                gt = gt_latched  # bit-identical: same one-hot pick
+            else:
+                gt = gather_rows([pos[:1], vel[:1]],
+                                 jnp.where(found, wstar, -1))
             sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
             sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
                                    sig3[:, 2 * Lp:])
