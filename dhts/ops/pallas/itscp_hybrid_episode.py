@@ -176,6 +176,23 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         min(max(chunk_c * j - _pad, 0), Lp - win)
         for j in range(n_chunks)) if banded else ()
 
+    def _mk_windows(mm):
+        """Window geometry for indices within ``mm`` adjacency steps of
+        the column lane: route edges are adjacency edges, so walk hop
+        mm-1's target lies within mm*band of the walking lane. None when
+        the window wouldn't beat a dense gather."""
+        padm = _LANE * int(np.ceil(mm * band / _LANE)) if band else _LANE
+        winm = chunk_c + 2 * padm
+        if winm >= Lp:
+            return None
+        return winm, tuple(min(max(chunk_c * j - padm, 0), Lp - winm)
+                           for j in range(n_chunks))
+    # hop 1 peeled banded (wide_ops): feasible at 7x7+ (win2 < Lp); at
+    # 5x5 the doubled window exceeds the lane width and hop 1 stays in
+    # the dense loop
+    win2 = _mk_windows(2) if lead_latch else None
+    hop1_banded = win2 is not None
+
     # ---- static constants -------------------------------------------------
     def row(x, dtype=np.float32, fill=0.0):
         out = np.full((1, Lp), fill, dtype)
@@ -355,23 +372,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return oh_cat(jnp.concatenate(idx_rows, axis=1))
 
     def gather_multi(rows_cat, idx_rows, cn=None, sg=False,
-                     prebuilt_chunks=None):
+                     prebuilt_chunks=None, window_geom=None):
         """Gather a [N, Lp] row stack at M ADJACENCY-class index rows ->
         [N, M*Lp] in the ``oh_multi`` block layout. Dense one-hot matmul
         below the banded threshold; chunked block-band dots above it
         (``banded`` docstring at the top of this function's module scope).
         ``prebuilt_chunks``: a [n_chunks, wt*128, M*128] resident constant
-        of per-chunk window one-hots (static index rows)."""
+        of per-chunk window one-hots (static index rows).
+        ``window_geom``: (win, chunk_starts) override for index rows with
+        a wider band bound (e.g. walk hop 1 via ``_mk_windows(2)``)."""
         if not banded:
             out = jnp.dot(rows_cat, oh_multi(idx_rows),
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             return jax.lax.stop_gradient(out) if sg else out
+        g_win, g_starts = window_geom or (win, chunk_starts)
         M = (len(idx_rows) if prebuilt_chunks is None
              else prebuilt_chunks.shape[2] // chunk_c)
         outs = []
         for j in range(n_chunks):
-            st = chunk_starts[j]
+            st = g_starts[j]
             if prebuilt_chunks is None:
                 rel = jnp.concatenate(
                     [jnp.where(ir[:, j * chunk_c:(j + 1) * chunk_c] >= 0,
@@ -379,11 +399,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                -1)
                      for ir in idx_rows], axis=1)  # [1, M*chunk_c]
                 ohj = (jax.lax.broadcasted_iota(
-                    jnp.int32, (win, M * chunk_c), 0) == rel).astype(
+                    jnp.int32, (g_win, M * chunk_c), 0) == rel).astype(
                     jnp.float32)
             else:
                 ohj = prebuilt_chunks[j]
-            outs.append(jnp.dot(rows_cat[:, st:st + win], ohj,
+            outs.append(jnp.dot(rows_cat[:, st:st + g_win], ohj,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST))
         res = jnp.concatenate(
@@ -748,9 +768,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 prev_l, curr_l, next_l = (ent[:, :Lp], ent[:, Lp:2 * Lp],
                                           ent[:, 2 * Lp:])
         elif early_exit:
-            prev_l = pick_r(route_h, ridx_h - 1)
-            curr_l = pick_r(route_h, ridx_h)
-            next_l = pick_r(route_h, ridx_h + 1)
+            if wide_ops:
+                # one batched pick for (prev, curr, next[, hop-1 target])
+                ent = batched_route_pick(2 if hop1_banded else 1)
+                prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
+                next_l = ent[:, 2 * Lp:3 * Lp]
+                wl1 = ent[:, 3 * Lp:] if hop1_banded else None
+            else:
+                prev_l = pick_r(route_h, ridx_h - 1)
+                curr_l = pick_r(route_h, ridx_h)
+                next_l = pick_r(route_h, ridx_h + 1)
             # Forward kernels only: hop until EVERY lane's walk terminated
             # (on ITSCP grids that is typically 1-3 hops, while the static
             # bound W hits the R-1 cap at 5x5+). Values are identical to
@@ -781,7 +808,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 walk0_l = walk0 + ((jnp.zeros((1, Lp)), jnp.zeros((1, Lp)))
                                    if lead_latch else ())
                 w_init = walk_latch(next_l, gw0, *walk0_l)
-                st0 = ((jnp.ones((), jnp.int32),
+                o0 = 1
+                if hop1_banded:
+                    # hop 1 peeled too: its target is 2 adjacency steps
+                    # from the walking lane (route edges are adjacency
+                    # edges), gathered through the doubled-band windows
+                    gw1 = gather_multi(
+                        jnp.concatenate(gw0_rows, axis=0), [wl1],
+                        sg=True, window_geom=win2)
+                    w_init = walk_latch(wl1, gw1, *w_init)
+                    o0 = 2
+                st0 = ((jnp.full((), o0, jnp.int32),
                         w_init[0].astype(jnp.int32),
                         w_init[1].astype(jnp.int32)) + w_init[2:])
             else:
