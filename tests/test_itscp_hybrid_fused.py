@@ -332,8 +332,14 @@ def test_packed_episodes_match_vmapped_singles():
 
 
 
-@pytest.mark.parametrize("differentiable", [True, False])
-def test_wide_ops_bit_identical(differentiable):
+@pytest.mark.parametrize("differentiable,mode", [
+    (True, "hybrid"), (False, "hybrid"),
+    # micro mode: boundary lanes are micro, so stochastic INJECTIONS fire
+    # (hybrid borders are macro and never inject) — this is the live
+    # coverage for the saved-injection-flag replay path
+    (True, "micro"),
+])
+def test_wide_ops_bit_identical(differentiable, mode):
     """``wide_ops`` (round 3): the walk-latch fold, K-way arbitration
     scan, streamed signal block, stacked sigmoids, fused event reduce and
     f32 pools must be BIT-IDENTICAL to the sequential forms — rewards,
@@ -347,7 +353,7 @@ def test_wide_ops_bit_identical(differentiable):
     cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
                speed_limit=20.0, cell_length=5.0, policy_length=16,
                signal_length=2, simulation_frequency=10, random_seed=3,
-               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+               max_num_micro_vehicle_per_lane=4, mode=mode)
     env = ItscpEnv(config=cfg, schedule_fn=problem_1)
     env.reset()
     V = env.base_state.micro.position.shape[1]
@@ -380,8 +386,9 @@ def test_wide_ops_bit_identical(differentiable):
             grads[w] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
     reward, queues, events = outs[False]
     reward_w, queues_w, events_w = outs[True]
-    assert int(np.asarray(events)[:, 1].sum()) >= 2, \
-        "scene no longer emits: wide-arbitration coverage is vacuous"
+    ev_col = 0 if mode == "micro" else 1  # injections / emissions
+    assert int(np.asarray(events)[:, ev_col].sum()) >= 2, \
+        "scene has no live vehicle events: wide coverage is vacuous"
     assert float(reward_w) == float(reward)
     np.testing.assert_array_equal(np.asarray(queues_w), np.asarray(queues))
     np.testing.assert_array_equal(np.asarray(events_w), np.asarray(events))
