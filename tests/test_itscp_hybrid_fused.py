@@ -333,11 +333,12 @@ def test_packed_episodes_match_vmapped_singles():
 
 
 @pytest.mark.parametrize("differentiable,mode", [
-    (True, "hybrid"), (False, "hybrid"),
+    (True, "hybrid"),
+    pytest.param(False, "hybrid", marks=pytest.mark.slow),
     # micro mode: boundary lanes are micro, so stochastic INJECTIONS fire
     # (hybrid borders are macro and never inject) — this is the live
     # coverage for the saved-injection-flag replay path
-    (True, "micro"),
+    pytest.param(True, "micro", marks=pytest.mark.slow),
 ])
 def test_wide_ops_bit_identical(differentiable, mode):
     """``wide_ops`` (round 3): the walk-latch fold, K-way arbitration
