@@ -1794,7 +1794,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         for shp in ([TRAJ[j][1] for j in SLIM_IDX] +
                     [shp for _, shp, _ in EXTRA])))
     fn.banded = banded
+    fn.wide_ops = wide_ops
     fn.geometry = dict(L=L, Lp=Lp, Cp=Cp, Vp=Vp, R=R, K=K, W=W, T=T,
                        n_phases=n_phases, n_inter=n_inter,
-                       episodes=B_ep if packed else 1)
+                       episodes=B_ep if packed else 1,
+                       band=band, banded_win=win if banded else 0,
+                       lead_latch=lead_latch, hop1_banded=hop1_banded)
     return fn
