@@ -315,6 +315,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     if packed:
         consts["ep_pick"] = ep_pick_np
         consts["ep_pick_t"] = ep_pick_np.T.copy()
+    if wide_ops:
+        # hop-block index row for the wide walk latch (host-built: an
+        # in-kernel iota//Lp is an avoidable Mosaic lowering risk)
+        consts["blkw"] = np.repeat(np.arange(W, dtype=np.int32),
+                                   Lp)[None]
     if _ablate:
         # Profiling rig only: a resident [Lp, 4Lp] block-identity used to
         # stub one-hot BUILDS named in ``_ablate`` (keeps every matmul's
@@ -701,8 +706,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             w_macro = GW[0:1] > 0.5
             occupied = exists & ~w_macro & (GW[1:2] > 0.5)
             stop = ~exists | w_macro | occupied
-            blk = (jax.lax.broadcasted_iota(jnp.int32, (1, W * Lp), 1)
-                   // Lp)
+            blk = cn["blkw"]  # host-built hop-block index row
             ostar = blk_tree(jnp.where(stop, blk, W), jnp.minimum, W)
             tile = jnp.concatenate([ostar] * W, axis=1)
             sel = (blk == tile) & occupied
