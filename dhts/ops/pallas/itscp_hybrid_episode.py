@@ -1288,15 +1288,30 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if diff:
             c_st = ep_spread(16.0 / jnp.maximum(
                 jnp.abs(ss_tot / jnp.maximum(ss_cnt, 1.0)), 1e-6), cn)
-            stat_c = soft(static_speed - u_cells, c_st)
-            stat_v = soft(static_speed - vel, c_st)
+        if wide_ops:
+            # one stacked threshold chain + ONE masked reduce: per lane
+            # exactly one of the two weight halves is nonzero (cmask is
+            # macro-only, veh_m micro-only), and adding exact 0.0 rows
+            # leaves the other half's sum bit-identical to the separate
+            # reduces + where-select
+            x_all = static_speed - jnp.concatenate([u_cells, vel], axis=0)
+            s_all = soft(x_all, c_st) if diff else \
+                (x_all > 0).astype(jnp.float32)
+            w_all = jnp.concatenate(
+                [(r * cn["cell_len"] / veh_len) * cn["cmask"], veh_m],
+                axis=0)
+            q_lane = jnp.sum(s_all * w_all, axis=0, keepdims=True)
         else:
-            stat_c = (u_cells < static_speed).astype(jnp.float32)
-            stat_v = (vel < static_speed).astype(jnp.float32)
-        q_macro = jnp.sum(stat_c * (r * cn["cell_len"] / veh_len) *
-                          cn["cmask"], axis=0, keepdims=True)
-        q_micro = jnp.sum(stat_v * veh_m, axis=0, keepdims=True)
-        q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
+            if diff:
+                stat_c = soft(static_speed - u_cells, c_st)
+                stat_v = soft(static_speed - vel, c_st)
+            else:
+                stat_c = (u_cells < static_speed).astype(jnp.float32)
+                stat_v = (vel < static_speed).astype(jnp.float32)
+            q_macro = jnp.sum(stat_c * (r * cn["cell_len"] / veh_len) *
+                              cn["cmask"], axis=0, keepdims=True)
+            q_micro = jnp.sum(stat_v * veh_m, axis=0, keepdims=True)
+            q_lane = jnp.where(cn["is_macro"] > 0, q_macro, q_micro)
         queue = ep_sum(q_lane * q_lane * cn["lane_mask"], cn) * dt
 
         carry = (r, y, pos, vel, av, count, route, ridx, cap, inj_left,
