@@ -503,8 +503,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # residual traffic with bit-identical values.
         (r, y, pos, vel, av, count, route, ridx, cap, inj_left, cursor,
          ss_tot, ss_cnt, sg_tot, sg_cnt) = carry
-        act_rows = (jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) <
-                    count).astype(jnp.float32)
         micro_row = 1.0 - cn["is_macro"]
 
         # ---- signals
