@@ -1802,8 +1802,56 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                     flops_bwd=float(c_b.get("flops", 0.0)),
                     bytes_bwd=float(c_b.get("bytes accessed", 0.0)))
 
+    def step_hlo():
+        """Optimized-HLO text of the per-step fwd and bwd-replay graphs
+        (same graphs as :func:`step_cost`) for op-stream composition
+        analysis (``bench/step_ops.py``)."""
+        cnj = {k: jnp.asarray(v) for k, v in consts.items()}
+        carry = pack(carry0(cnj))
+        args = (jnp.zeros((), jnp.int32), jnp.zeros((NPp, NIp)),
+                jnp.zeros((1, Lp)), jnp.zeros((1, Lp), jnp.int32),
+                jnp.zeros((1, Lp), jnp.int32), jnp.ones((1, Lp)),
+                jnp.zeros((P, R, Lp), jnp.int32),
+                jnp.zeros((P_emit, R, Lp), jnp.int32))
+
+        def fwd1(comps, t, action2d, sched, mnext, mprev, rand, inj, pool):
+            new, queue, ev, _ = step(unpack(list(comps)), t, action2d,
+                                     sched, mnext, mprev, rand, inj, pool,
+                                     cnj)
+            return pack(new), queue, ev
+
+        def bwd1(floats, action2d, t, sched, mnext, mprev, rand, inj, pool):
+            def f(fl, a):
+                full = list(carry)
+                for j, v in zip(FDIFF, fl):
+                    full[j] = v
+                new, queue, _, _ = step(
+                    unpack(full), t, a, sched, mnext, mprev, rand, inj,
+                    pool, cnj,
+                    walk_saved=jnp.zeros((5 if wide_ops else 2, Lp),
+                                         jnp.int32),
+                    walk_saved_f=jnp.zeros((1, Lp)),
+                    head_saved=((None, None) if wide_ops else
+                                (jnp.zeros((R, Lp), jnp.int32),
+                                 jnp.zeros((1, Lp), jnp.int32))),
+                    conv_saved=(jnp.zeros((8, Lp), jnp.int32)
+                                if wide_ops else None))
+                out = pack(new)
+                return tuple(out[j] for j in FDIFF), queue
+            _, vjp = jax.vjp(f, floats, action2d)
+            return vjp((tuple(jnp.zeros_like(carry[j]) for j in FDIFF),
+                        jnp.zeros(())))
+
+        def text(f, *a):
+            return jax.jit(f).lower(*a).compile().as_text()
+
+        floats = tuple(carry[j] for j in FDIFF)
+        return dict(fwd=text(fwd1, carry, *args),
+                    bwd=text(bwd1, floats, args[1], args[0], *args[2:]))
+
     fn.debug_forward = debug_forward
     fn.step_cost = step_cost
+    fn.step_hlo = step_hlo
     # HBM residual stream: each slim carry block + EXTRA block is written
     # once by the forward and read once by the backward, per step
     fn.residual_bytes_per_step = int(sum(
