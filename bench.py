@@ -274,6 +274,22 @@ def main():
             extras["sharded_fused_error"] = \
                 f"{type(e).__name__}: {str(e)[:120]}"
 
+        try:  # packed FLAGSHIP aggregate: B 3x3 episodes block-diagonal in
+            # ONE kernel's lane axis — at the packed width the banded
+            # window gathers engage (incl. the per-hop-tier walk), so the
+            # per-step serialization cost is paid once per pack, not once
+            # per episode (compare batched_value, the vmapped path).
+            # Placed LAST: reset_batch perturbs env state.
+            env.reset_batch(B, seed=3)
+            runf = env.packed_episode_fn()
+            af = jnp.full((B, n_act), 0.5)
+            kf = jax.random.split(key, B)
+            gf = jax.jit(jax.grad(lambda a: -jnp.mean(runf(a, kf).reward)))
+            dtf = timed(gf, af, reps=5)
+            extras["packed_3x3_agg_steps_per_sec"] = round(T * B / dtf, 1)
+        except Exception as e:
+            extras["packed_3x3_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
     print(json.dumps({
         "metric": "hybrid ITSCP net sim steps/sec (fwd+bwd)",
         "value": round(steps_per_sec, 2),

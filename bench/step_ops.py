@@ -63,11 +63,44 @@ def inner_ops(hlo: str):
     return ops
 
 
+def by_line(hlo: str, shape_filter: str | None = None):
+    """Histogram arithmetic instructions by kernel source line (the
+    optimized HLO keeps jax's source_file/source_line metadata), so the
+    remaining narrow-op population can be attributed to step() phases."""
+    ops = collections.Counter()
+    pat = re.compile(r"^\s+(?:ROOT\s+)?%?[\w.\-]+ = ([a-z0-9]+)\[([\d,]*)\][^ ]* ([a-z\-]+)\(")
+    meta = re.compile(r'source_file="([^"]+)".*?source_line=(\d+)')
+    for line in hlo.splitlines():
+        m = pat.match(line)
+        if not m:
+            continue
+        dtype, shape, opcode = m.groups()
+        if opcode in NOISE or opcode == "fusion":
+            continue
+        if shape_filter and f"{dtype}[{shape}]" != shape_filter:
+            continue
+        mm = meta.search(line)
+        key = (f"{mm.group(1).rsplit('/', 1)[-1]}:{mm.group(2)}"
+               if mm else "<no-meta>")
+        ops[key] += 1
+    return ops
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wide", action="store_true")
     ap.add_argument("--grid", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--by-line", action="store_true",
+                    help="also histogram ops by kernel source line")
+    ap.add_argument("--shape", default=None,
+                    help="restrict --by-line to one shape, e.g. "
+                         "'f32[1,256]'")
+    ap.add_argument("--packed", type=int, default=0, metavar="B",
+                    help="analyze the PACKED kernel (B episodes "
+                         "block-diagonal in the lane axis) instead; "
+                         "op counts are per PACK step, so divide by B "
+                         "for the per-episode comparison")
     args = ap.parse_args()
 
     import jax
@@ -81,16 +114,25 @@ def main():
                speed_limit=60.0, cell_length=5.0, policy_length=20,
                signal_length=4, simulation_frequency=30, random_seed=3,
                mode="hybrid", max_num_micro_vehicle_per_lane=10)
+    cfg["use_wide_ops"] = args.wide
     env = ItscpEnv(config=cfg, schedule_fn=problem_1)
-    env.reset()
-    V = env.base_state.micro.position.shape[1]
-    R = env.base_state.micro.route.shape[2]
-    P = env.data.inj_routes.shape[1]
-    P2 = env.base_state.route_pool.shape[1]
-    kern = make_fused_itscp_episode(
-        env.spec, env.meta, env.config, V, R, P, P2,
-        differentiable=True, window=env._fused_win_needed,
-        wide_ops=args.wide)
+    if args.packed:
+        env.reset_batch(args.packed, seed=3)
+        kern = env.packed_episode_fn().kernel
+    else:
+        env.reset()
+        V = env.base_state.micro.position.shape[1]
+        R = env.base_state.micro.route.shape[2]
+        P = env.data.inj_routes.shape[1]
+        P2 = env.base_state.route_pool.shape[1]
+        kern = make_fused_itscp_episode(
+            env.spec, env.meta, env.config, V, R, P, P2,
+            differentiable=True, window=env._fused_win_needed,
+            wide_ops=args.wide)
+    g = kern.geometry
+    print(f"geometry: Lp={g['Lp']} W={g['W']} band={g['band']} "
+          f"banded_win={g['banded_win']} episodes={g['episodes']} "
+          f"wide={kern.wide_ops}")
     texts = kern.step_hlo()
     for name in ("fwd", "bwd"):
         hlo = texts[name]
@@ -105,6 +147,10 @@ def main():
         print("-- inner (opcode, shape) --")
         for (op, sh), v in inner.most_common(args.top):
             print(f"{v:5d}  {op:22s} {sh}")
+        if args.by_line:
+            print(f"-- by source line{' (' + args.shape + ')' if args.shape else ''} --")
+            for k, v in by_line(hlo, args.shape).most_common(args.top):
+                print(f"{v:5d}  {k}")
     sys.stdout.flush()
 
 

@@ -844,7 +844,39 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
             wl_cat = ent[:, 2 * Lp:]  # [1, W*Lp]
             next_l = wl_cat[:, :Lp]
-            if banded or (_ablate and ({"walk", "ohb"} & set(_ablate))):
+            if banded:
+                # per-hop-TIER banded window gathers: hop o's target is
+                # o+1 route edges == o+1 adjacency steps from the walking
+                # lane, so it lies within (o+1)*band and gathers through
+                # the ``_mk_windows(o+1)`` geometry. Window width is
+                # monotone in o, so hops sharing a geometry form
+                # contiguous runs, and any hops whose window wouldn't
+                # beat dense form a suffix gathered with one dense dot.
+                # Block m of GW is bit-identical to the dense
+                # ``oh_cat`` gather's block m (``gather_multi``).
+                rows3 = jnp.concatenate([cn["is_macro"], count_row,
+                                         cn["length"]], axis=0)
+                runs = []  # [(geom, [hop, ...])]
+                for o in range(W):
+                    g = _mk_windows(o + 1)
+                    if g is None:
+                        break
+                    if runs and runs[-1][0] == g:
+                        runs[-1][1].append(o)
+                    else:
+                        runs.append((g, [o]))
+                o_dense = sum(len(h) for _, h in runs)
+                parts = [gather_multi(
+                    rows3, [wl_cat[:, o * Lp:(o + 1) * Lp] for o in hops],
+                    sg=True, window_geom=g) for g, hops in runs]
+                if o_dense < W:
+                    parts.append(jax.lax.stop_gradient(jnp.dot(
+                        rows3, oh_cat(wl_cat[:, o_dense * Lp:]),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)))
+                GW = (parts[0] if len(parts) == 1 else
+                      jnp.concatenate(parts, axis=1))
+            elif _ablate and ({"walk", "ohb"} & set(_ablate)):
                 # profiling rig: keep the families separate so their
                 # stubs attribute independently
                 ohw = (cn["dummy_oh"][:, :W * Lp] if "walk" in _ablate
@@ -879,8 +911,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             if lead_latch and walk_saved is None:
                 gt = gt_latched  # bit-identical: same one-hot pick
             else:
-                gt = gather_rows([pos[:1], vel[:1]],
-                                 jnp.where(found, wstar, -1))
+                # wstar is a terminating hop's lane (hops 0..W-1), so it
+                # lies within W*band of the column lane: gather through
+                # the W-step window geometry when it beats dense (this is
+                # the DIFFERENTIABLE leader gather — gather_multi without
+                # sg — incl. on the backward-replay path)
+                geom_w = _mk_windows(W)
+                wstar_v = jnp.where(found, wstar, -1)
+                if geom_w is not None:
+                    gt = gather_multi(
+                        jnp.concatenate([pos[:1], vel[:1]], axis=0),
+                        [wstar_v], window_geom=geom_w)
+                else:
+                    gt = gather_rows([pos[:1], vel[:1]], wstar_v)
             sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
             sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
                                    sig3[:, 2 * Lp:])

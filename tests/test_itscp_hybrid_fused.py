@@ -330,6 +330,65 @@ def test_packed_episodes_match_vmapped_singles():
     assert np.max(np.abs(gv - gp)) / np.max(np.abs(gv)) < 1e-4
 
 
+@pytest.mark.slow
+def test_packed_banded_episodes_match_vmapped_singles():
+    """Packed episodes at a width where the BANDED gathers engage
+    (B=4 x 3x3 -> Lp=640 >= 512): the per-hop-tier banded walk gathers
+    (hops 0-1 through the single-band windows, hops 2-3 in the dense
+    suffix — the run-split logic) and the banded boundary/arbitration
+    families must preserve the packed-vs-vmapped parity contract, with
+    live emission events so walks actually run. wide_ops on top must be
+    forward-bit-identical, with gradients at the banded wide-vs-narrow
+    re-rounding tolerance (see test_banded_5x5_matches_scan)."""
+    def build(wide):
+        cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+                   speed_limit=20.0, cell_length=5.0, policy_length=16,
+                   signal_length=2, simulation_frequency=10, random_seed=3,
+                   max_num_micro_vehicle_per_lane=4, mode="hybrid",
+                   use_fused_episode=True, use_wide_ops=wide)
+        env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+        env.reset_batch(4, seed=5)
+        return env
+
+    env = build(False)
+    B = 4
+    actions = jnp.stack([jnp.full((env.action_size(),), 0.3 + 0.1 * b)
+                         for b in range(B)])
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    run = env.packed_episode_fn()
+    assert run.kernel.banded, "packed 3x3 x4 must take the banded path"
+
+    res_p = jax.jit(run)(actions, keys)
+    res_v = env.episode_batch(actions, True, keys)
+    rv, rp = np.asarray(res_v.reward), np.asarray(res_p.reward)
+    np.testing.assert_allclose(rp, rv, rtol=1e-5)
+    assert int(np.asarray(res_v.emitted).sum()) > 0, \
+        "no emissions: walks never run and the banded-walk path is vacuous"
+    assert int(res_p.emitted) == int(np.asarray(res_v.emitted).sum())
+    assert int(res_p.absorbed) == int(np.asarray(res_v.absorbed).sum())
+
+    gp = jax.jit(jax.grad(lambda a: jnp.sum(run(a, keys).reward)))(actions)
+    one = env._fused_episode_one()
+    gv = jax.jit(jax.grad(lambda a: jnp.sum(jax.vmap(
+        lambda aa, d, k: one(aa, d, k).reward)(
+            a, env.batch_data, keys))))(actions)
+    gv, gp = np.asarray(gv), np.asarray(gp)
+    cos = np.sum(gv * gp) / (np.linalg.norm(gv) * np.linalg.norm(gp))
+    assert cos > 0.99999, cos
+    assert np.max(np.abs(gv - gp)) / np.max(np.abs(gv)) < 1e-4
+
+    # wide_ops on the packed banded kernel: forward bit-identical
+    envw = build(True)
+    runw = envw.packed_episode_fn()
+    assert runw.kernel.wide_ops
+    res_w = jax.jit(runw)(actions, keys)
+    np.testing.assert_array_equal(np.asarray(res_w.reward), rp)
+    np.testing.assert_array_equal(np.asarray(res_w.queue_per_step),
+                                  np.asarray(res_p.queue_per_step))
+    gw = np.asarray(jax.jit(jax.grad(
+        lambda a: jnp.sum(runw(a, keys).reward)))(actions))
+    np.testing.assert_allclose(gw, gp, rtol=5e-6,
+                               atol=1e-12 * max(np.abs(gp).max(), 1e-30))
 
 
 @pytest.mark.parametrize("differentiable,mode", [
