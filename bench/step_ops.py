@@ -63,26 +63,61 @@ def inner_ops(hlo: str):
     return ops
 
 
-def by_line(hlo: str, shape_filter: str | None = None):
-    """Histogram arithmetic instructions by kernel source line (the
-    optimized HLO keeps jax's source_file/source_line metadata), so the
-    remaining narrow-op population can be attributed to step() phases."""
+MLIR_NOISE = {"constant", "return", "func", "call", "custom_call",
+              "optimization_barrier"}
+
+
+def by_line(mlir: str, shape_filter: str | None = None,
+            prefer_file: str = "itscp_hybrid_episode.py"):
+    """Histogram StableHLO ops by kernel source line. The compiled HLO of
+    this jaxlib references a stack-frame table (not inline source lines),
+    so attribution uses the PRE-optimization StableHLO printed with
+    ``debug_info=True`` — counts are before fusion/CSE, i.e. an upper
+    bound per line, good for ranking which step() phases mint the ops.
+
+    ``shape_filter`` matches the HLO-style spelling, e.g. ``f32[1,256]``
+    (StableHLO ``tensor<1x256xf32>``)."""
+    locdef = re.compile(r"^#loc(\d+) = loc\((.*)\)\s*$")
+    table = {}
+    for line in mlir.splitlines():
+        m = locdef.match(line)
+        if m:
+            table[m.group(1)] = m.group(2)
+    fileref = re.compile(r'"([^"]+\.py)":(\d+)')
+
+    def frames(body, depth=0):
+        hits = fileref.findall(body)
+        if depth < 4:
+            for ref in re.findall(r"#loc(\d+)", body):
+                hits += frames(table.get(ref, ""), depth + 1)
+        return hits
+
+    def resolve(ref):
+        hits = frames(table.get(ref, ""))
+        if not hits:
+            return "<no-loc>"
+        pick = next((h for h in hits if h[0].endswith(prefer_file)),
+                    hits[-1])
+        return f"{pick[0].rsplit('/', 1)[-1]}:{pick[1]}"
+
+    oppat = re.compile(
+        r"= (?:stablehlo|chlo)\.([a-z_]+)[^:]*:[^t]*tensor<([^>]*)>"
+        r".*loc\(#loc(\d+)\)")
     ops = collections.Counter()
-    pat = re.compile(r"^\s+(?:ROOT\s+)?%?[\w.\-]+ = ([a-z0-9]+)\[([\d,]*)\][^ ]* ([a-z\-]+)\(")
-    meta = re.compile(r'source_file="([^"]+)".*?source_line=(\d+)')
-    for line in hlo.splitlines():
-        m = pat.match(line)
+    for line in mlir.splitlines():
+        m = oppat.search(line)
         if not m:
             continue
-        dtype, shape, opcode = m.groups()
-        if opcode in NOISE or opcode == "fusion":
+        opcode, tshape, ref = m.groups()
+        if opcode in MLIR_NOISE:
             continue
-        if shape_filter and f"{dtype}[{shape}]" != shape_filter:
-            continue
-        mm = meta.search(line)
-        key = (f"{mm.group(1).rsplit('/', 1)[-1]}:{mm.group(2)}"
-               if mm else "<no-meta>")
-        ops[key] += 1
+        if shape_filter:
+            dims = tshape.split("x")
+            hlo_shape = f"{dims[-1]}[{','.join(dims[:-1])}]"
+            if hlo_shape != shape_filter:
+                continue
+        ops[f"{resolve(ref)} {opcode}" if shape_filter
+            else resolve(ref)] += 1
     return ops
 
 
@@ -148,8 +183,10 @@ def main():
         for (op, sh), v in inner.most_common(args.top):
             print(f"{v:5d}  {op:22s} {sh}")
         if args.by_line:
-            print(f"-- by source line{' (' + args.shape + ')' if args.shape else ''} --")
-            for k, v in by_line(hlo, args.shape).most_common(args.top):
+            print(f"-- by source line, pre-opt StableHLO"
+                  f"{' (' + args.shape + ')' if args.shape else ''} --")
+            for k, v in by_line(texts[name + "_mlir"],
+                                args.shape).most_common(args.top):
                 print(f"{v:5d}  {k}")
     sys.stdout.flush()
 

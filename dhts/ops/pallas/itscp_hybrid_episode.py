@@ -187,11 +187,25 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             return None
         return winm, tuple(min(max(chunk_c * j - padm, 0), Lp - winm)
                            for j in range(n_chunks))
-    # hop 1 peeled banded (wide_ops): feasible at 7x7+ (win2 < Lp); at
-    # 5x5 the doubled window exceeds the lane width and hop 1 stays in
-    # the dense loop
-    win2 = _mk_windows(2) if lead_latch else None
-    hop1_banded = win2 is not None
+    # Walk hops peeled out of the early-exit loop through banded windows
+    # (wide_ops): hop o's target is o+1 adjacency steps from the walking
+    # lane, so any hop whose (o+1)-step window still beats a dense gather
+    # is executed unconditionally BEFORE the loop through that window —
+    # ITSCP walks typically terminate within 1-3 hops, so with enough
+    # hops peeled the dense while_loop usually runs zero iterations.
+    # 7x7 fits hop 1 (doubled band); 9x9 fits hops 1-3. At 5x5 the
+    # doubled window already exceeds the lane width and every hop past 0
+    # stays in the dense loop. Capped at 3 peeled hops: deeper hops are
+    # rare, and a peeled hop's gather runs every step even when all
+    # walks have terminated.
+    peel_geoms = []
+    if lead_latch:
+        for _o in range(1, min(W, 4)):
+            _g = _mk_windows(_o + 1)
+            if _g is None:
+                break
+            peel_geoms.append(_g)
+    hop1_banded = len(peel_geoms) >= 1
 
     # ---- static constants -------------------------------------------------
     def row(x, dtype=np.float32, fill=0.0):
@@ -771,11 +785,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           ent[:, 2 * Lp:])
         elif early_exit:
             if wide_ops:
-                # one batched pick for (prev, curr, next[, hop-1 target])
-                ent = batched_route_pick(2 if hop1_banded else 1)
+                # one batched pick for (prev, curr, next[, peeled-hop
+                # targets])
+                n_pe = len(peel_geoms)
+                ent = batched_route_pick(1 + n_pe)
                 prev_l, curr_l = ent[:, :Lp], ent[:, Lp:2 * Lp]
                 next_l = ent[:, 2 * Lp:3 * Lp]
-                wl1 = ent[:, 3 * Lp:] if hop1_banded else None
+                wl_peel = [ent[:, (3 + i) * Lp:(4 + i) * Lp]
+                           for i in range(n_pe)]
             else:
                 prev_l = pick_r(route_h, ridx_h - 1)
                 curr_l = pick_r(route_h, ridx_h)
@@ -805,21 +822,35 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 gw0_rows = [cn["is_macro"], count_row, cn["length"]]
                 if lead_latch:
                     gw0_rows += [pos[:1], vel[:1]]
-                gw0 = gather_multi(
-                    jnp.concatenate(gw0_rows, axis=0), [next_l], sg=True)
+                rows_cat0 = jnp.concatenate(gw0_rows, axis=0)
                 walk0_l = walk0 + ((jnp.zeros((1, Lp)), jnp.zeros((1, Lp)))
                                    if lead_latch else ())
-                w_init = walk_latch(next_l, gw0, *walk0_l)
-                o0 = 1
-                if hop1_banded:
-                    # hop 1 peeled too: its target is 2 adjacency steps
-                    # from the walking lane (route edges are adjacency
-                    # edges), gathered through the doubled-band windows
-                    gw1 = gather_multi(
-                        jnp.concatenate(gw0_rows, axis=0), [wl1],
-                        sg=True, window_geom=win2)
-                    w_init = walk_latch(wl1, gw1, *w_init)
-                    o0 = 2
+                # peeled hops 0..n_pe grouped by window geometry: hops
+                # sharing a geometry (window widths are multiples of the
+                # 128-lane pad, so neighbouring tiers often coincide)
+                # gather through ONE multi-block banded call; the latch
+                # fold then consumes the blocks in hop order, which is
+                # bit-identical to per-hop gathers (gather_multi block
+                # contract)
+                geom1 = (win, chunk_starts)
+                wl_all = [next_l] + (wl_peel if lead_latch else [])
+                geoms = [geom1] + peel_geoms
+                groups = []  # [(geom, [hop, ...])]
+                for i, g in enumerate(geoms[:len(wl_all)]):
+                    if groups and groups[-1][0] == g:
+                        groups[-1][1].append(i)
+                    else:
+                        groups.append((g, [i]))
+                w_init = walk0_l
+                for g, hops in groups:
+                    gwc = gather_multi(rows_cat0,
+                                       [wl_all[i] for i in hops],
+                                       sg=True, window_geom=g)
+                    for kk, i in enumerate(hops):
+                        w_init = walk_latch(
+                            wl_all[i], gwc[:, kk * Lp:(kk + 1) * Lp],
+                            *w_init)
+                o0 = len(wl_all)
                 st0 = ((jnp.full((), o0, jnp.int32),
                         w_init[0].astype(jnp.int32),
                         w_init[1].astype(jnp.int32)) + w_init[2:])
@@ -1886,11 +1917,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         jnp.zeros(())))
 
         def text(f, *a):
-            return jax.jit(f).lower(*a).compile().as_text()
+            lowered = jax.jit(f).lower(*a)
+            # optimized HLO for op counts; StableHLO with debug locs for
+            # source-line attribution (this jaxlib's compiled HLO carries
+            # only stack_frame_id, not inline source_file/line)
+            return (lowered.compile().as_text(),
+                    lowered.as_text(debug_info=True))
 
         floats = tuple(carry[j] for j in FDIFF)
-        return dict(fwd=text(fwd1, carry, *args),
-                    bwd=text(bwd1, floats, args[1], args[0], *args[2:]))
+        fwd_t, fwd_m = text(fwd1, carry, *args)
+        bwd_t, bwd_m = text(bwd1, floats, args[1], args[0], *args[2:])
+        return dict(fwd=fwd_t, bwd=bwd_t, fwd_mlir=fwd_m, bwd_mlir=bwd_m)
 
     fn.debug_forward = debug_forward
     fn.step_cost = step_cost
@@ -1907,5 +1944,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                        n_phases=n_phases, n_inter=n_inter,
                        episodes=B_ep if packed else 1,
                        band=band, banded_win=win if banded else 0,
-                       lead_latch=lead_latch, hop1_banded=hop1_banded)
+                       lead_latch=lead_latch, hop1_banded=hop1_banded,
+                       n_hop_peel=len(peel_geoms))
     return fn

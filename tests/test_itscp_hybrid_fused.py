@@ -513,6 +513,59 @@ def test_wide_ops_7x7_hop1_banded_bit_identical():
 
 
 @pytest.mark.slow
+def test_wide_ops_9x9_hop_peel_bit_identical():
+    """At 9x9 three peel tiers fit (n_hop_peel=2: hops 1-2 peel through
+    the 2- and 3-step banded windows on top of hop 0), so the early-exit
+    walk loop only runs for walks needing hop 3+. Wide vs narrow kernels
+    must stay exactly equal on the forward (rewards, queues, events;
+    gradients to fusion-rounding tolerance) with live emissions so walks
+    actually run hops."""
+    cfg = dict(num_intersection=9, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=16,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    kernels = {
+        w: make_fused_itscp_episode(env.spec, env.meta, env.config, V, R,
+                                    P, P2, differentiable=True,
+                                    window=env._fused_win_needed,
+                                    interpret=True, wide_ops=w)
+        for w in (False, True)}
+    assert kernels[True].banded
+    assert kernels[True].geometry["n_hop_peel"] == 2
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    n_phases = kernels[True].geometry["n_phases"]
+    action = jnp.full(env.action_size(), 0.6)
+
+    outs, grads = {}, {}
+    for w, fused in kernels.items():
+        def frun(a, fused=fused):
+            return fused(a.reshape(n_phases, -1), env.data.schedule,
+                         env.data.mroute_next, env.data.mroute_prev, rand,
+                         env.data.inj_routes, env.base_state.route_pool,
+                         with_events=True)
+        outs[w] = frun(action)
+        grads[w] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
+    reward, queues, events = outs[False]
+    reward_w, queues_w, events_w = outs[True]
+    assert int(np.asarray(events)[:, 1].sum()) > 0, \
+        "no emissions: no vehicles ever walk and the test is vacuous"
+    assert float(reward_w) == float(reward)
+    np.testing.assert_array_equal(np.asarray(queues_w), np.asarray(queues))
+    np.testing.assert_array_equal(np.asarray(events_w), np.asarray(events))
+    np.testing.assert_allclose(
+        grads[True], grads[False], rtol=5e-6,
+        atol=1e-12 * max(np.abs(grads[False]).max(), 1e-30))
+
+
+@pytest.mark.slow
 def test_banded_5x5_matches_scan():
     """Banded gathers (round 3): at Lp >= 512 the kernel's adjacency-class
     gathers run as chunked block-band dots. Exactness contract: identical

@@ -71,10 +71,13 @@ while true; do
     DHTS_WIDE_OPS=1 timeout 3600 python bench/slope3x3.py \
       > result/wide/slope_wide.json 2>&1
     log "slope wide exit=$?: $(tail -c 300 result/wide/slope_wide.json)"
-    log "step 5: banded_check (7x7 scaling point)"
+    log "step 5: banded_check (7x7 + 9x9 scaling points)"
     timeout 3600 python bench/banded_check.py 7 \
       > result/wide/banded_check7.json 2> result/wide/banded_check7.err
     log "banded_check7 exit=$?: $(tail -c 400 result/wide/banded_check7.json)"
+    timeout 3600 python bench/banded_check.py 9 \
+      > result/wide/banded_check9.json 2> result/wide/banded_check9.err
+    log "banded_check9 exit=$?: $(tail -c 400 result/wide/banded_check9.json)"
     log "step 6: full bench"
     timeout 5400 python bench.py > result/wide/bench_recheck.json 2>&1
     log "bench exit=$?: $(tail -c 600 result/wide/bench_recheck.json)"
