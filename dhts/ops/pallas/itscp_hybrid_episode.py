@@ -939,7 +939,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # latched during the walk when lead_latch (forward kernels),
             # else a dense 2-row dot; the 3 signal lookups are
             # route-adjacent -> banded
-            if lead_latch and walk_saved is None:
+            if lead_latch and walk_saved is None and early_exit:
+                # only the early-exit walk latches the leader fields; the
+                # batched-walk wide path (step_hlo / step_cost tracing)
+                # falls through to the windowed gather below
                 gt = gt_latched  # bit-identical: same one-hot pick
             else:
                 # wstar is a terminating hop's lane (hops 0..W-1), so it
@@ -1833,9 +1836,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 jnp.zeros((P_emit, R, Lp), jnp.int32))
 
         def fwd1(comps, t, action2d, sched, mnext, mprev, rand, inj, pool):
+            # same early_exit flag as the real forward kernel (run_forward)
+            # so the analyzed graph is the one the grid iteration executes
+            # (the while_loop body counts once ~ the typical 0-1 dynamic
+            # iterations left after the hop peel)
             new, queue, ev, _ = step(unpack(list(comps)), t, action2d,
                                      sched, mnext, mprev, rand, inj, pool,
-                                     cnj)
+                                     cnj, early_exit=W >= 8)
             return pack(new), queue, ev
 
         def bwd1(floats, action2d, t, sched, mnext, mprev, rand, inj, pool):
@@ -1889,9 +1896,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 jnp.zeros((P_emit, R, Lp), jnp.int32))
 
         def fwd1(comps, t, action2d, sched, mnext, mprev, rand, inj, pool):
+            # same early_exit flag as the real forward kernel (run_forward)
+            # so the analyzed graph is the one the grid iteration executes
+            # (the while_loop body counts once ~ the typical 0-1 dynamic
+            # iterations left after the hop peel)
             new, queue, ev, _ = step(unpack(list(comps)), t, action2d,
                                      sched, mnext, mprev, rand, inj, pool,
-                                     cnj)
+                                     cnj, early_exit=W >= 8)
             return pack(new), queue, ev
 
         def bwd1(floats, action2d, t, sched, mnext, mprev, rand, inj, pool):
