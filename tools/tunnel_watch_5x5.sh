@@ -16,6 +16,10 @@
 # Log: result/control/itscp_5x5/launcher.log
 set -u
 cd "$(dirname "$0")/.."
+# `python bench/foo.py` puts bench/ (not the repo root) on sys.path; the
+# dhts package needs the root explicitly. Keep /root/.axon_site (axon
+# backend) — never REPLACE PYTHONPATH (CLAUDE.md gotcha).
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 LOG=result/control/itscp_5x5/launcher.log
 mkdir -p result/control/itscp_5x5 result/wide
 log() { echo "$(date -u +%FT%TZ) $*" >> "$LOG"; }
