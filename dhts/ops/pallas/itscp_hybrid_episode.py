@@ -506,7 +506,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
              walk_saved=None, walk_saved_f=None, head_saved=None,
-             sig_t=None, conv_saved=None):
+             sig_t=None, conv_saved=None, ids_saved=None):
         # Per-vehicle IDM parameters are NOT carried: every vehicle in the
         # ITSCP scene is created with the same ``dflt`` values (injection
         # and emission both use default_micro_vehicle semantics,
@@ -551,9 +551,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         # ---- injection (env lines: free space, rand < incoming, pool left)
         if conv_saved is not None:
-            # replay: the injection flag was saved (conv_i row 7), so the
+            # replay: the injection flag was saved (conv_i row 5), so the
             # free-space/rand predicate chain is skipped
-            im = conv_saved[7:8] > 0
+            im = conv_saved[5:6] > 0
         else:
             free = jnp.where(count > 0, pos[:1] - 0.5 * veh_len,
                              cn["length"])
@@ -722,11 +722,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             ostar = blk_tree(jnp.where(stop, blk, W), jnp.minimum, W)
             tile = jnp.concatenate([ostar] * W, axis=1)
             sel = (blk == tile) & occupied
-            mx = blk_tree(jnp.concatenate(
-                [sel.astype(jnp.int32), jnp.where(sel, wl_cat, -1)],
-                axis=0), jnp.maximum, W)
-            found = (mx[0:1] > 0) & h_exists
-            wstar = jnp.where(found, mx[1:2], -1)
+            # two single-row trees (not one [2, W*Lp] tree): row 1 of a
+            # 2-row result lives at sublane offset 1, which would poison
+            # wstar for the downstream oh_multi lane concat on Mosaic;
+            # the rows reduce independently, so this is value-identical
+            fnd = blk_tree(sel.astype(jnp.int32), jnp.maximum, W)
+            mx1 = blk_tree(jnp.where(sel, wl_cat, -1), jnp.maximum, W)
+            found = (fnd > 0) & h_exists
+            wstar = jnp.where(found, mx1, -1)
             # gap below the terminating hop, in fold addition order
             before = (blk < tile).astype(jnp.float32)
             acc = jax.lax.stop_gradient(base)
@@ -775,10 +778,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             wstar = walk_saved[1:2]
             cdel_st = walk_saved_f
             if wide_ops:
-                # the head's prev/curr/next route lane ids ride the same
-                # residual: no route-container pick in the backward at all
-                prev_l, curr_l, next_l = (walk_saved[2:3], walk_saved[3:4],
-                                          walk_saved[4:5])
+                # the head's prev/curr/next route lane ids ride the WIDE
+                # [1, 5Lp] ids residual: lane-block slices keep sublane
+                # offset 0, which Mosaic's tpu.concatenate requires of
+                # every index row fed to oh_multi/gather_multi (rows of a
+                # [5, Lp] stack live at sublane offsets 2..4 and crash
+                # with "offset mismatch on non-concat dimension")
+                prev_l, curr_l, next_l = (ids_saved[:, :Lp],
+                                          ids_saved[:, Lp:2 * Lp],
+                                          ids_saved[:, 2 * Lp:3 * Lp])
             else:
                 ent = batched_route_pick(1)
                 prev_l, curr_l, next_l = (ent[:, :Lp], ent[:, Lp:2 * Lp],
@@ -961,6 +969,20 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
             sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
                                    sig3[:, 2 * Lp:])
+        elif walk_saved is not None and wide_ops:
+            # replay: wstar (walk_i row 1, sublane offset 1) cannot join
+            # the offset-0 ids-row blocks in one lane concat on Mosaic;
+            # gather it through its own broadcast-built one-hot (the
+            # iota compare replicates the row, erasing the offset) and
+            # keep the 3 signal lookups in one wide dot. Bit-identical:
+            # the same one-hot columns contract the same rows.
+            gt = gather_rows([pos[:1], vel[:1]],
+                             jnp.where(found, wstar, -1))
+            gts = jnp.dot(sig, oh_multi([curr_l, prev_l, next_l]),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            sig_c, sig_p, sig_n = (gts[:, :Lp], gts[:, Lp:2 * Lp],
+                                   gts[:, 2 * Lp:])
         else:
             # leader tail fields + the 3 signal lookups in ONE wide gather
             ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
@@ -1100,13 +1122,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # predicate/arbitration chain are skipped entirely — they
             # carry no gradient and replay deterministically. Requires
             # head_saved (the route-pool picks reference full-Gall rows).
-            best = conv_saved[0:1]
-            dep_best = conv_saved[1:2]
-            next_is_micro = conv_saved[2:3] > 0
-            emit_win = conv_saved[3:4] > 0
-            tr_win = conv_saved[4:5] > 0
-            dep_win = conv_saved[5:6] > 0
-            exit_none = conv_saved[6:7] > 0
+            # arbitration winners ride the wide ids residual (blocks 3-4)
+            # so the [sdep, src] gather's index concat sees offset-0 rows
+            best = ids_saved[:, 3 * Lp:4 * Lp]
+            dep_best = ids_saved[:, 4 * Lp:5 * Lp]
+            next_is_micro = conv_saved[0:1] > 0
+            emit_win = conv_saved[1:2] > 0
+            tr_win = conv_saved[2:3] > 0
+            dep_win = conv_saved[3:4] > 0
+            exit_none = conv_saved[4:5] > 0
         else:
             # destination probes for BOTH event families (macro->micro
             # emission at mnext, head exits at hnext) in ONE gather; every
@@ -1394,10 +1418,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if wide_ops:
             # the 7 event counters reduce in ONE [7, Lp] sum (exact: 0/1
             # addends) instead of 7 scalar reductions
+            # cast each mask BEFORE the concat: Mosaic cannot concatenate
+            # i1 vectors (invalid tpu.bitcast_vreg i1->i32 on real TPU;
+            # interpret mode accepts it)
             evm = jnp.concatenate(
-                [im, is_emit_d, exit_none | dep_win,
-                 has_ins & ~src_is_macro, tr_win, dep_win, remove],
-                axis=0).astype(jnp.float32)
+                [m.astype(jnp.float32) for m in
+                 (im, is_emit_d, exit_none | dep_win,
+                  has_ins & ~src_is_macro, tr_win, dep_win, remove)],
+                axis=0)
             ev = jnp.concatenate(
                 [jnp.sum(evm, axis=1, keepdims=True),
                  jax.lax.stop_gradient(max_wave).reshape(1, 1)],
@@ -1412,20 +1440,23 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if route_h is None:  # replay: residuals are inputs, not outputs
             return carry, queue, ev, ()
         if wide_ops:
-            # walk outcome + the head's prev/curr/next route lane ids in
-            # one row stack; conversion outcomes in another — the backward
-            # replays both and never reads route_h/ridx_h (whose [R+1, Lp]
-            # per-step residual stream is dropped entirely)
+            # walk outcome rows (axis-0 stack, offsets tolerated), the 5
+            # index rows as ONE wide [1, 5Lp] lane-concat (every operand
+            # is a fresh offset-0 row here, and the replay's lane-block
+            # slices stay offset-0 — Mosaic's index-concat requirement),
+            # and the conversion win flags in a third stack. The backward
+            # replays all of it and never reads route_h/ridx_h (whose
+            # [R+1, Lp] per-step residual stream is dropped entirely).
             walk_i = jnp.concatenate(
-                [found.astype(jnp.int32), wstar, prev_l, curr_l, next_l],
-                axis=0)
+                [found.astype(jnp.int32), wstar], axis=0)
+            ids_w = jnp.concatenate(
+                [prev_l, curr_l, next_l, best, dep_best], axis=1)
             conv_i = jnp.concatenate(
-                [best, dep_best,
-                 next_is_micro.astype(jnp.int32),
+                [next_is_micro.astype(jnp.int32),
                  emit_win.astype(jnp.int32), tr_win.astype(jnp.int32),
                  dep_win.astype(jnp.int32), exit_none.astype(jnp.int32),
                  im.astype(jnp.int32)], axis=0)
-            extra = (walk_i, cdel_st, conv_i)
+            extra = (walk_i, cdel_st, ids_w, conv_i)
         else:
             walk_i = jnp.concatenate([found.astype(jnp.int32), wstar],
                                      axis=0)
@@ -1474,9 +1505,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # backward replays these and skips the route picks, the gmh/GK
         # probe gathers and the predicate chain — and the route_h/ridx_h
         # planes are not streamed at all
-        EXTRA = (("walk_i", (5, Lp), jnp.int32),
+        EXTRA = (("walk_i", (2, Lp), jnp.int32),
                  ("walk_f", (1, Lp), jnp.float32),
-                 ("conv_i", (8, Lp), jnp.int32))
+                 ("ids_w", (1, 5 * Lp), jnp.int32),
+                 ("conv_i", (6, Lp), jnp.int32))
     else:
         EXTRA = (("walk_i", (2, Lp), jnp.int32),
                  ("walk_f", (1, Lp), jnp.float32),
@@ -1633,13 +1665,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         t = T - 1 - i
         rand_row = rand_ref[0]
         if wide_ops:
-            walk_i_ref, walk_f_ref, conv_ref = extra_refs
+            walk_i_ref, walk_f_ref, ids_ref, conv_ref = extra_refs
             route_h_s = ridx_h_s = None
-            conv_s = conv_ref[0]
+            conv_s, ids_s = conv_ref[0], ids_ref[0]
         else:
             walk_i_ref, walk_f_ref, rh_ref, rx_ref = extra_refs
             route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
-            conv_s = None
+            conv_s = ids_s = None
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
 
         @pl.when(i == 0)
@@ -1674,7 +1706,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           head_saved=(route_h_s, ridx_h_s),
                                           sig_t=(sig_ref[0] if wide_ops
                                                  else None),
-                                          conv_saved=conv_s)
+                                          conv_saved=conv_s,
+                                          ids_saved=ids_s)
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -1855,14 +1888,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 new, queue, _, _ = step(
                     unpack(full), t, a, sched, mnext, mprev, rand, inj,
                     pool, cnj,
-                    walk_saved=jnp.zeros((5 if wide_ops else 2, Lp),
-                                         jnp.int32),
+                    walk_saved=jnp.zeros((2, Lp), jnp.int32),
                     walk_saved_f=jnp.zeros((1, Lp)),
                     head_saved=((None, None) if wide_ops else
                                 (jnp.zeros((R, Lp), jnp.int32),
                                  jnp.zeros((1, Lp), jnp.int32))),
-                    conv_saved=(jnp.zeros((8, Lp), jnp.int32)
-                                if wide_ops else None))
+                    conv_saved=(jnp.zeros((6, Lp), jnp.int32)
+                                if wide_ops else None),
+                    ids_saved=(jnp.zeros((1, 5 * Lp), jnp.int32)
+                               if wide_ops else None))
                 out = pack(new)
                 return tuple(out[j] for j in FDIFF), queue
             _, vjp = jax.vjp(f, floats, action2d)
@@ -1913,14 +1947,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 new, queue, _, _ = step(
                     unpack(full), t, a, sched, mnext, mprev, rand, inj,
                     pool, cnj,
-                    walk_saved=jnp.zeros((5 if wide_ops else 2, Lp),
-                                         jnp.int32),
+                    walk_saved=jnp.zeros((2, Lp), jnp.int32),
                     walk_saved_f=jnp.zeros((1, Lp)),
                     head_saved=((None, None) if wide_ops else
                                 (jnp.zeros((R, Lp), jnp.int32),
                                  jnp.zeros((1, Lp), jnp.int32))),
-                    conv_saved=(jnp.zeros((8, Lp), jnp.int32)
-                                if wide_ops else None))
+                    conv_saved=(jnp.zeros((6, Lp), jnp.int32)
+                                if wide_ops else None),
+                    ids_saved=(jnp.zeros((1, 5 * Lp), jnp.int32)
+                               if wide_ops else None))
                 out = pack(new)
                 return tuple(out[j] for j in FDIFF), queue
             _, vjp = jax.vjp(f, floats, action2d)
