@@ -73,20 +73,30 @@ def main():
         return np.asarray(r), np.asarray(g), dt
 
     r0, g0, t0 = build(False)
-    r1, g1, t1 = build(True)
+    out = {"grid": grid, "T": T, "reward_narrow": float(r0),
+           "fwdbwd_call_s_narrow": t0, "steps_per_sec_narrow": T / t0}
+    try:
+        r1, g1, t1 = build(True)
+    except Exception as e:  # narrow numbers still land in the record
+        out.update({"wide_error": f"{type(e).__name__}: {e}"[:400],
+                    "finite": bool(np.isfinite(r0) and
+                                   np.isfinite(g0).all()),
+                    "fwd_bit_identical": False})
+        print(json.dumps(out))
+        raise SystemExit("wide banded build failed Mosaic; narrow ok")
     finite = bool(np.isfinite(r0) and np.isfinite(g0).all() and
                   np.isfinite(r1) and np.isfinite(g1).all())
     exact_fwd = bool(r0 == r1)
-    print(json.dumps({
-        "grid": grid, "T": T,
-        "reward_narrow": float(r0), "reward_wide": float(r1),
+    out.update({
+        "reward_wide": float(r1),
         "finite": finite, "fwd_bit_identical": exact_fwd,
         "grad_max_rel_diff": float(np.abs(g0 - g1).max() /
                                    max(np.abs(g0).max(), 1e-30)),
-        "fwdbwd_call_s_narrow": t0, "fwdbwd_call_s_wide": t1,
-        "steps_per_sec_narrow": T / t0, "steps_per_sec_wide": T / t1,
+        "fwdbwd_call_s_wide": t1,
+        "steps_per_sec_wide": T / t1,
         "wide_speedup": t0 / t1 if t1 > 0 else None,
-    }))
+    })
+    print(json.dumps(out))
     if not (finite and exact_fwd):
         raise SystemExit("banded kernel failed the on-device check")
 

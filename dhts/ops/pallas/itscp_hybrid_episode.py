@@ -966,9 +966,22 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         [wstar_v], window_geom=geom_w)
                 else:
                     gt = gather_rows([pos[:1], vel[:1]], wstar_v)
-            sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
-            sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
-                                   sig3[:, 2 * Lp:])
+            if walk_saved is not None and wide_ops:
+                # replay (in-kernel vjp): lane-slicing a DIFFERENTIABLE
+                # [1, 3Lp] gather transposes to a lane pad, and the wide
+                # path's stacked-row consumers hand that pad cotangents
+                # at nonzero sublane offsets — an illegal mixed-offset
+                # tpu.concatenate on Mosaic. Three M=1 gathers route each
+                # cotangent straight into a dot transpose (dots relayout
+                # their operands freely). Same one-hot columns, same
+                # contractions: bit-identical.
+                sig_c = gather_multi(sig, [curr_l])
+                sig_p = gather_multi(sig, [prev_l])
+                sig_n = gather_multi(sig, [next_l])
+            else:
+                sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
+                sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
+                                       sig3[:, 2 * Lp:])
         elif walk_saved is not None and wide_ops:
             # replay: wstar (walk_i row 1, sublane offset 1) cannot join
             # the offset-0 ids-row blocks in one lane concat on Mosaic;
@@ -978,11 +991,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # the same one-hot columns contract the same rows.
             gt = gather_rows([pos[:1], vel[:1]],
                              jnp.where(found, wstar, -1))
-            gts = jnp.dot(sig, oh_multi([curr_l, prev_l, next_l]),
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            sig_c, sig_p, sig_n = (gts[:, :Lp], gts[:, Lp:2 * Lp],
-                                   gts[:, 2 * Lp:])
+            # three M=1 dots, not one [1, 3Lp] gather: lane-slicing a
+            # differentiable wide row transposes to a lane pad whose
+            # mixed-sublane-offset cotangents Mosaic cannot concatenate
+            # (same reasoning as the banded replay branch above)
+            sig_c = gather_rows([sig], curr_l)
+            sig_p = gather_rows([sig], prev_l)
+            sig_n = gather_rows([sig], next_l)
         else:
             # leader tail fields + the 3 signal lookups in ONE wide gather
             ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
@@ -1250,17 +1265,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # ridx, the R route-id rows) are dead under head_saved, so
             # only [is_macro, length | float state] at [sdep, src] remain
             # — 7 rows x [Lp, 2Lp] instead of (10+R) x [Lp, 4Lp]
-            gall_rows = jnp.concatenate(
-                [cn["is_macro"], cn["length"],
-                 hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
+            gsg_rows = jnp.concatenate([cn["is_macro"], cn["length"]],
+                                       axis=0)
+            gdf_rows = jnp.concatenate(
+                [hv_pos, hv_vel, hv_a, u_last, emit_carrier], axis=0)
+            # the sg rows stay one wide gather (no transpose), but the
+            # DIFFERENTIABLE rows gather per index: lane-slicing a wide
+            # diff tensor transposes to a lane pad whose mixed-offset
+            # cotangents Mosaic cannot concatenate (the replay runs
+            # inside the backward kernel's in-kernel vjp)
             if banded:
-                Gall = gather_multi(gall_rows, [sdep, src])
+                Gsg = gather_multi(gsg_rows, [sdep, src], sg=True)
+                Gdf_dep = gather_multi(gdf_rows, [sdep])
+                Gdf_src = gather_multi(gdf_rows, [src])
             else:
-                Gall = jnp.dot(gall_rows, oh_multi([sdep, src]),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-            Gsg = jax.lax.stop_gradient(Gall[:2])
-            Gdf = Gall[2:]
+                Gsg = jax.lax.stop_gradient(jnp.dot(
+                    gsg_rows, oh_multi([sdep, src]),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+                Gdf_dep = gather_rows([gdf_rows], sdep)
+                Gdf_src = gather_rows([gdf_rows], src)
             b_dep, b_src = slice(0, Lp), slice(Lp, 2 * Lp)
             i_mac, i_len = 0, 1
         else:
@@ -1296,6 +1320,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             dep_win = want_dep & (Gsg[1:2, b_hn].astype(jnp.int32) ==
                                   lane_ids)
             i_mac, i_len = 2, 3
+            # forward kernel (no vjp): plain lane-slice views
+            Gdf_dep, Gdf_src = Gdf[:, b_dep], Gdf[:, b_src]
 
         # removals
         remove = exit_none | dep_win | tr_win
@@ -1310,9 +1336,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         src_is_macro = Gsg[i_mac:i_mac + 1, b_src] > 0.5
         is_emit_d = has_ins & src_is_macro
         new_pos_d = jnp.where(is_emit_d, 0.0,
-                              Gdf[0:1, b_src] - Gsg[i_len:i_len + 1, b_src])
-        new_vel_d = jnp.where(is_emit_d, Gdf[3:4, b_src], Gdf[1:2, b_src])
-        new_a_d = jnp.where(is_emit_d, Gdf[4:5, b_src], Gdf[2:3, b_src])
+                              Gdf_src[0:1] - Gsg[i_len:i_len + 1, b_src])
+        new_vel_d = jnp.where(is_emit_d, Gdf_src[3:4], Gdf_src[1:2])
+        new_a_d = jnp.where(is_emit_d, Gdf_src[4:5], Gdf_src[2:3])
 
         hm = has_ins
         pos = tail_insert(pos, new_pos_d[0], hm)
@@ -1339,7 +1365,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cursor = cursor + is_emit_d.astype(jnp.int32)
 
         # micro -> macro deposits (fields ride the ``b_dep`` block)
-        v_head = Gdf[0:1, b_dep] - Gsg[i_len:i_len + 1, b_dep]
+        v_head = Gdf_dep[0:1] - Gsg[i_len:i_len + 1, b_dep]
         v_tail = v_head - veh_len
         # Mosaic requires integer iota; cast after
         cells = jax.lax.broadcasted_iota(jnp.int32, (Cp, Lp), 0).astype(
@@ -1351,11 +1377,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         max_head = jnp.maximum(c_head, v_head)
         min_tail = jnp.minimum(c_tail, v_tail)
         overlap = cn["cell_len"] + veh_len - (max_head - min_tail)
-        add_r = (Gdf[2:3, b_dep] / veh_len * (overlap / cn["cell_len"]))
+        add_r = (Gdf_dep[2:3] / veh_len * (overlap / cn["cell_len"]))
         n_r = r + add_r
         n_r = n_r - jax.lax.stop_gradient(n_r - jnp.clip(n_r, 1e-5,
                                                          1.0 - 1e-5))
-        dep_u = Gdf[1:2, b_dep]
+        dep_u = Gdf_dep[1:2]
         r = jnp.where(ov, n_r, r)
         y = jnp.where(ov, arz.compute_y(n_r, dep_u, u_max), y)
 
