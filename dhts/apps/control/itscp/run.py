@@ -36,6 +36,18 @@ def main(argv=None):
     p.add_argument("--signal_length", type=int, default=2)
     p.add_argument("--n_episode", type=int, default=200)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", choices=["const", "cosine"],
+                   default="const",
+                   help="cosine: warmup + cosine decay over n_episode "
+                        "epochs (stabilizes long runs at 5x5+)")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off)")
+    p.add_argument("--ep_per_epoch", type=int, default=1,
+                   help="episodes (random injection draws) averaged per "
+                        "update; reference uses 1, larger values cut "
+                        "gradient noise at big grids")
+    p.add_argument("--n_eval_episode", type=int, default=1,
+                   help="hard-mode episodes averaged per eval point")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_root", type=str, default="result/control/itscp")
     p.add_argument("--fused_episode", action="store_true",
@@ -91,18 +103,26 @@ def main(argv=None):
                             seed=args.seed + trial if args.seed > 0
                             else None)
             trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
-                              multi_scenario=True, packed=True)
+                              multi_scenario=True, packed=True,
+                              lr_schedule=args.lr_schedule,
+                              schedule_epochs=args.n_episode + 1,
+                              grad_clip=args.grad_clip)
         else:
             env.reset(seed=args.seed + trial if args.seed > 0 else None)
             trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
-                              mesh=mesh, mesh_fused=args.mesh_fused)
+                              mesh=mesh, mesh_fused=args.mesh_fused,
+                              lr_schedule=args.lr_schedule,
+                              schedule_epochs=args.n_episode + 1,
+                              grad_clip=args.grad_clip)
         log_path = os.path.join(run_name, f"trial_{trial}")
         # reference: 1 episode per epoch; in mesh mode, one episode per
         # data shard per epoch (the batch rides the data axis); packed:
         # one episode per packed scenario per epoch
-        ep_per_epoch = mesh.shape["data"] if mesh is not None else 1
+        ep_per_epoch = (mesh.shape["data"] if mesh is not None
+                        else max(1, args.ep_per_epoch))
         trainer.train(ep_per_epoch, args.n_episode + 1,
-                      max(1, args.n_episode // 10), 1, log_path)
+                      max(1, args.n_episode // 10),
+                      max(1, args.n_eval_episode), log_path)
 
 
 if __name__ == "__main__":

@@ -37,12 +37,21 @@ class Trainer:
 
     def __init__(self, env, network_size=(256, 256), lr=1e-3, seed=0,
                  render_eval=False, multi_scenario=False, mesh=None,
-                 mesh_fused=False, packed=False):
+                 mesh_fused=False, packed=False, lr_schedule="const",
+                 schedule_epochs=None, grad_clip=None):
         """``multi_scenario``: train the controller against the env's whole
         scenario batch (``env.reset_batch`` must have been called) — every
         scenario's episode, per-scenario observation and action, runs inside
         the one jitted train step. The reference has no counterpart (it
         trains one controller per fixed schedule).
+
+        ``lr_schedule``: ``"const"`` (reference behavior) or ``"cosine"`` —
+        linear warmup over the first ~5% of ``schedule_epochs`` updates to
+        ``lr``, cosine decay to ``lr/10`` after (round-4 fix for the 5x5
+        late-training regression: constant-lr Adam climbs back out of the
+        basin after ~250 epochs, result/control/itscp_5x5_long).
+        ``grad_clip``: optional global-norm clip applied before Adam
+        (backprop through 600 chaotic simulation steps occasionally spikes).
 
         ``mesh``: a 2-D ``(data, lane)`` ``jax.sharding.Mesh`` — the train
         step then runs spatially sharded (the scene split over ``lane``,
@@ -68,7 +77,20 @@ class Trainer:
                                 network_size=tuple(network_size))
         self.params = self.model.init(jax.random.PRNGKey(seed), self.obs[0]
                                       if multi_scenario else self.obs)
-        self.opt = optax.adam(lr)
+        if lr_schedule == "cosine":
+            total = int(schedule_epochs or 100)
+            warmup = max(1, total // 20)
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=lr / 10.0, peak_value=lr,
+                warmup_steps=warmup, decay_steps=total,
+                end_value=lr / 10.0)
+        elif lr_schedule != "const":
+            raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+        opt = optax.adam(lr)
+        if grad_clip:
+            opt = optax.chain(optax.clip_by_global_norm(float(grad_clip)),
+                              opt)
+        self.opt = opt
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed + 1)
         self.best_eval_reward = -float("inf")

@@ -60,13 +60,13 @@ def leader_window(is_macro, routes) -> int:
     micro = np.zeros(entries.shape, bool)
     valid = entries >= 0
     micro[valid] = ~is_macro[entries[valid]]
-    best = 0
-    for row in micro:
-        run = 0
-        for m in row:
-            run = run + 1 if m else 0
-            best = max(best, run)
-    return best + 1
+    if micro.size == 0:
+        return 1
+    # max consecutive-True run per row, vectorized: the running count is
+    # cumsum minus the cumsum value latched at the most recent False
+    c = np.cumsum(micro, axis=1)
+    latched = np.maximum.accumulate(np.where(micro, 0, c), axis=1)
+    return int((c - latched).max()) + 1
 
 
 def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
@@ -983,21 +983,26 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
                                        sig3[:, 2 * Lp:])
         elif walk_saved is not None and wide_ops:
-            # replay: wstar (walk_i row 1, sublane offset 1) cannot join
-            # the offset-0 ids-row blocks in one lane concat on Mosaic;
-            # gather it through its own broadcast-built one-hot (the
-            # iota compare replicates the row, erasing the offset) and
-            # keep the 3 signal lookups in one wide dot. Bit-identical:
-            # the same one-hot columns contract the same rows.
-            gt = gather_rows([pos[:1], vel[:1]],
-                             jnp.where(found, wstar, -1))
-            # three M=1 dots, not one [1, 3Lp] gather: lane-slicing a
-            # differentiable wide row transposes to a lane pad whose
-            # mixed-sublane-offset cotangents Mosaic cannot concatenate
-            # (same reasoning as the banded replay branch above)
-            sig_c = gather_rows([sig], curr_l)
-            sig_p = gather_rows([sig], prev_l)
-            sig_n = gather_rows([sig], next_l)
+            # replay: curr_l/next_l are lane-block SLICES of the wide
+            # [1, 5Lp] ids residual and carry lane offsets (Lp, 2Lp) —
+            # real Mosaic rejects broadcasting an offset [1, Lp] row to
+            # [Lp, Lp] ("Invalid input layout" on vector.broadcast),
+            # which is exactly what a per-index oh_l build does.
+            # Concatenating the four index rows FIRST yields a fresh
+            # offset-0 [1, 4Lp] row whose single iota-compare broadcast
+            # is legal; the BLOCKS of that one wide one-hot then feed
+            # four separate M=1 dots (a sliced one-hot is a dot RHS —
+            # dots relayout their operands freely), so each
+            # differentiable cotangent still sinks into its own dot
+            # transpose rather than a lane pad. Same one-hot columns,
+            # same contractions: bit-identical to per-index gathers.
+            oh4w = oh_multi([jnp.where(found, wstar, -1), curr_l,
+                             prev_l, next_l])
+            gt = gather_rows([pos[:1], vel[:1]], None,
+                             oh=oh4w[:, :Lp])
+            sig_c = gather_rows([sig], None, oh=oh4w[:, Lp:2 * Lp])
+            sig_p = gather_rows([sig], None, oh=oh4w[:, 2 * Lp:3 * Lp])
+            sig_n = gather_rows([sig], None, oh=oh4w[:, 3 * Lp:])
         else:
             # leader tail fields + the 3 signal lookups in ONE wide gather
             ohg = (cn["dummy_oh"][:, :4 * Lp] if "ohg" in _ablate else
@@ -1279,12 +1284,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 Gdf_dep = gather_multi(gdf_rows, [sdep])
                 Gdf_src = gather_multi(gdf_rows, [src])
             else:
+                # sdep/src derive elementwise from lane-offset slices of
+                # the wide ids residual (blocks 3-4), so per-index oh_l
+                # broadcasts are Mosaic-illegal here too (see the sig
+                # replay gathers above): build ONE one-hot from the
+                # fresh [sdep, src] concat and slice its blocks as the
+                # two M=1 dot RHSs — bit-identical, offsets erased.
+                ohds = oh_multi([sdep, src])
                 Gsg = jax.lax.stop_gradient(jnp.dot(
-                    gsg_rows, oh_multi([sdep, src]),
+                    gsg_rows, ohds,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
-                Gdf_dep = gather_rows([gdf_rows], sdep)
-                Gdf_src = gather_rows([gdf_rows], src)
+                Gdf_dep = gather_rows([gdf_rows], None, oh=ohds[:, :Lp])
+                Gdf_src = gather_rows([gdf_rows], None, oh=ohds[:, Lp:])
             b_dep, b_src = slice(0, Lp), slice(Lp, 2 * Lp)
             i_mac, i_len = 0, 1
         else:
