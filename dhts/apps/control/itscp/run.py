@@ -47,7 +47,12 @@ def main(argv=None):
                         "update; reference uses 1, larger values cut "
                         "gradient noise at big grids")
     p.add_argument("--n_eval_episode", type=int, default=1,
-                   help="hard-mode episodes averaged per eval point")
+                   help="hard-mode episodes averaged per eval point "
+                        "(fixed held-out keys: the curve is comparable "
+                        "across epochs)")
+    p.add_argument("--network_size", type=int, nargs=2, default=(256, 256),
+                   help="controller hidden widths (reference: 256 256; "
+                        "wider helps 25-intersection action heads)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_root", type=str, default="result/control/itscp")
     p.add_argument("--fused_episode", action="store_true",
@@ -103,6 +108,7 @@ def main(argv=None):
                             seed=args.seed + trial if args.seed > 0
                             else None)
             trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
+                              network_size=tuple(args.network_size),
                               multi_scenario=True, packed=True,
                               lr_schedule=args.lr_schedule,
                               schedule_epochs=args.n_episode + 1,
@@ -110,6 +116,7 @@ def main(argv=None):
         else:
             env.reset(seed=args.seed + trial if args.seed > 0 else None)
             trainer = Trainer(env, lr=args.lr, seed=args.seed + trial,
+                              network_size=tuple(args.network_size),
                               mesh=mesh, mesh_fused=args.mesh_fused,
                               lr_schedule=args.lr_schedule,
                               schedule_epochs=args.n_episode + 1,

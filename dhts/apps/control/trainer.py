@@ -93,6 +93,12 @@ class Trainer:
         self.opt = opt
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed + 1)
+        # eval episodes use a FIXED key set (fold_in of this base), so the
+        # eval curve compares the same held-out injection draws across
+        # epochs instead of sampling a fresh episode per eval — at 5x5+
+        # the per-draw reward spread buried real progress (round-3
+        # artifacts) — and eval no longer consumes the training stream
+        self._eval_key_base = jax.random.PRNGKey(seed + 2)
         self.best_eval_reward = -float("inf")
 
         if mesh is not None:
@@ -289,8 +295,8 @@ class Trainer:
 
     def evaluate(self, epoch, num_episode, log_path, tb=None, verbose=True):
         total = 0.0
-        for _ in range(max(1, num_episode)):
-            self.key, k = jax.random.split(self.key)
+        for i in range(max(1, num_episode)):
+            k = jax.random.fold_in(self._eval_key_base, i)
             res = self._eval_episode(self.params, k)
             total += float(res.reward)
         avg = total / max(1, num_episode)
