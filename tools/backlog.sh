@@ -1,0 +1,87 @@
+#!/bin/bash
+# Idempotent TPU backlog runner (round-4 rewrite of tunnel_watch_5x5.sh /
+# session4_*.sh, per the round-3 verdict: atomic artifacts, explicit error
+# records, skip-completed-on-restart, durable results).
+#
+#   - every check writes result/wide/NAME.json ATOMICALLY (tmp + mv); a
+#     failure writes {"error": ...} instead of leaving an empty file, so
+#     "failed" and "never ran" are distinguishable
+#   - a step is SKIPPED on restart when its artifact is valid JSON with
+#     no "error" key (delete the file to force a rerun)
+#   - every completed step ends with a git commit of its artifact, so a
+#     mid-run round snapshot cannot strand results untracked
+#   - waits for the axon tunnel (devices relay port 8083) before device
+#     steps; exits 17 if the tunnel stays dead past WAIT_TUNNEL_S
+#
+# Usage: tools/backlog.sh [step ...]   (default: all steps, in order)
+# Steps: wide_check slope_narrow slope_wide banded5 banded7 banded9 bench
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+LOG=result/wide/backlog.log
+mkdir -p result/wide
+WAIT_TUNNEL_S=${WAIT_TUNNEL_S:-7200}
+
+log() { echo "$(date -u +%FT%TZ) $*" | tee -a "$LOG"; }
+
+tunnel_up() { timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8083' 2>/dev/null; }
+
+wait_tunnel() {
+  local waited=0
+  until tunnel_up; do
+    [ "$waited" -ge "$WAIT_TUNNEL_S" ] && { log "tunnel dead ${waited}s: giving up"; exit 17; }
+    sleep 60; waited=$((waited + 60))
+  done
+}
+
+done_ok() {  # done_ok FILE -> 0 if FILE is valid JSON with no "error" key
+  python - "$1" <<'EOF'
+import json, sys
+try:
+    lines = [l for l in open(sys.argv[1]) if l.strip().startswith("{")]
+    d = json.loads(lines[-1])
+    sys.exit(1 if "error" in d else 0)
+except Exception:
+    sys.exit(1)
+EOF
+}
+
+run_step() {  # run_step NAME TIMEOUT_S OUT_JSON CMD...
+  local name=$1 tmo=$2 out=$3; shift 3
+  if done_ok "$out"; then log "$name: already done, skipping"; return 0; fi
+  wait_tunnel
+  log "$name: start ($*)"
+  if timeout "$tmo" "$@" > "$out.tmp" 2> "${out%.json}.err"; then
+    mv "$out.tmp" "$out"
+    log "$name: ok: $(tail -c 300 "$out")"
+  else
+    local rc=$?
+    printf '{"error": "%s failed rc=%d", "ts": "%s"}\n' \
+      "$name" "$rc" "$(date -u +%FT%TZ)" > "$out.tmp" && mv "$out.tmp" "$out"
+    log "$name: FAILED rc=$rc (stderr tail): $(tail -c 300 "${out%.json}.err")"
+  fi
+  git add "$out" "${out%.json}.err" "$LOG" 2>/dev/null
+  git commit -q -m "backlog: $name artifact" 2>/dev/null || true
+}
+
+STEPS=${*:-"wide_check slope_narrow slope_wide banded5 banded7 banded9 bench"}
+for s in $STEPS; do
+  case $s in
+    wide_check)   run_step wide_check 2400 result/wide/wide_check.json \
+                    python bench/wide_check.py ;;
+    slope_narrow) run_step slope_narrow 2400 result/wide/slope_narrow.json \
+                    python bench/slope3x3.py ;;
+    slope_wide)   run_step slope_wide 2400 result/wide/slope_wide.json \
+                    env DHTS_WIDE_OPS=1 python bench/slope3x3.py ;;
+    banded5)      run_step banded5 3600 result/wide/banded_check5.json \
+                    python bench/banded_check.py 5 ;;
+    banded7)      run_step banded7 3600 result/wide/banded_check7.json \
+                    python bench/banded_check.py 7 ;;
+    banded9)      run_step banded9 3600 result/wide/banded_check9.json \
+                    python bench/banded_check.py 9 ;;
+    bench)        run_step bench 5400 result/wide/bench_recheck.json \
+                    python bench.py ;;
+    *) log "unknown step '$s'"; exit 2 ;;
+  esac
+done
+log "backlog done"
