@@ -157,7 +157,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # experiments via DHTS_BANDED_CHUNK
     import os as _os
     if wide_ops is None:
-        wide_ops = _os.environ.get("DHTS_WIDE_OPS", "0") == "1"
+        # default ON since round 4: device-measured wins at every size,
+        # bit-identical incl. gradients (result/wide/: slope3x3 12.47 ->
+        # 11.10 us/step fwd+bwd, 5x5 1.13x, 7x7 1.12x, 9x9 1.11x)
+        wide_ops = _os.environ.get("DHTS_WIDE_OPS", "1") == "1"
     _chunk_env = int(_os.environ.get("DHTS_BANDED_CHUNK", "0"))
     chunk_c = _chunk_env if (_chunk_env and Lp % _chunk_env == 0) else _LANE
     win = chunk_c + 2 * _pad
