@@ -60,6 +60,11 @@ DEFAULT_CONFIG = dict(
     duration=1,  # actions per episode
     static_speed=0.2,  # queue threshold (m/s)
     num_schedule_obs=10,
+    # SOFT-mode signal-gate sharpness multiplier (1.0 = reference parity).
+    # >1 narrows the soft/hard surrogate gap the 5x5 training exploits
+    # (round-4: soft loss kept falling while hard eval regressed); hard
+    # mode is untouched.
+    soft_gate_scale=1.0,
     max_num_micro_vehicle_per_lane=10,
     mode="macro",  # macro | micro | hybrid
     random_seed=0,
@@ -109,7 +114,7 @@ def signal_progress_table(num_signal_frame: int) -> jax.Array:
 
 
 def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
-                 differentiable: bool):
+                 differentiable: bool, gate_scale: float = 1.0):
     """Per-lane stored signal (the reference's ``signal_info[1]``,
     ``_env.py:647``): approaching arms gate on the action-vs-progress
     comparison; mid connectors and leaving arms are always open."""
@@ -117,8 +122,8 @@ def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
     a = action2d[phase][meta.inter]  # [L]
     progress = signal_progress_table(num_signal_frame)[t % num_signal_frame]
     if differentiable:
-        gate_we = soft_sigmoid(a - progress, 32.0)
-        gate_ns = soft_sigmoid(progress - a, 32.0)
+        gate_we = soft_sigmoid(a - progress, 32.0 * gate_scale)
+        gate_ns = soft_sigmoid(progress - a, 32.0 * gate_scale)
     else:
         gate_we = (a > progress).astype(jnp.float32)
         gate_ns = (progress > a).astype(jnp.float32)
@@ -129,6 +134,7 @@ def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
 def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
                      differentiable: bool, record: bool = False):
     """Build the jitted episode rollout for one scene/config."""
+    gsc = float(config.get("soft_gate_scale", 1.0))
     T = (config["policy_length"] * config["duration"] *
          config["simulation_frequency"])
     nsf = config["simulation_frequency"] * config["signal_length"]
@@ -152,7 +158,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         # same step serves chunked rollouts whose action covers one policy
         # round only (ItscpEnv.step)
         lane_sig = lane_signals(meta, action2d, t, nsf, action2d.shape[0],
-                                diff)
+                                diff, gate_scale=gsc)
         incoming = jnp.where(meta.has_prev, -1.0, sched_t)
 
         # ---- micro injection (before leader search; _simulator.py:153-174)
@@ -209,7 +215,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         gr_r, gr_u = network.get_macro_boundary(spec, state, left=False,
                                                 u_all=u_all)
         if diff:
-            s = soft_sigmoid(lane_sig - 0.5, 32.0)
+            s = soft_sigmoid(lane_sig - 0.5, 32.0 * gsc)
         else:
             s = (lane_sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s + 1.0 * (1.0 - s)  # red downstream ghost: jam wall
@@ -268,7 +274,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         blend_mask = head["exists"] & ~spec.is_macro
         if diff:
             signal_ms = rms.update_mean_masked(signal_ms, fsig, blend_mask)
-            const = 32.0 / jnp.maximum(
+            const = 32.0 * gsc / jnp.maximum(
                 jnp.abs(rms.mean_of(signal_ms, 1.0)), 1e-6)
             fs = soft_sigmoid(fsig - 0.5, const)
             pd = pd_g * fs + red_pd * (1.0 - fs)

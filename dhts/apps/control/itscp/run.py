@@ -50,6 +50,11 @@ def main(argv=None):
                    help="hard-mode episodes averaged per eval point "
                         "(fixed held-out keys: the curve is comparable "
                         "across epochs)")
+    p.add_argument("--soft_gate_scale", type=float, default=1.0,
+                   help="sharpen the SOFT signal gates by this factor "
+                        "(training only; hard eval unchanged). >1 narrows "
+                        "the soft/hard surrogate gap that 5x5 training "
+                        "exploits after ~40 epochs")
     p.add_argument("--network_size", type=int, nargs=2, default=(256, 256),
                    help="controller hidden widths (reference: 256 256; "
                         "wider helps 25-intersection action heads)")
@@ -90,6 +95,7 @@ def main(argv=None):
         signal_length=args.signal_length, mode=args.mode,
         random_seed=args.seed,
         use_fused_episode=args.fused_episode,
+        soft_gate_scale=args.soft_gate_scale,
         use_wide_ops=args.wide_ops or None),
         schedule_fn=PROBLEMS[args.problem])
 

@@ -56,6 +56,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
                    config["signal_length"])
     n_inter = config["num_intersection"] ** 2
     dt = 1.0 / config["simulation_frequency"]
+    gsc = float(config.get("soft_gate_scale", 1.0))
     static_speed = config["static_speed"]
     veh_len = config["vehicle_length"]
     diff = differentiable
@@ -82,7 +83,8 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
         mic = state.micro
         V = mic.position.shape[1]
         arl = jnp.arange(l_loc)
-        lane_sig_g = lane_signals(meta_g, action2d, t, nsf, n_phases, diff)
+        lane_sig_g = lane_signals(meta_g, action2d, t, nsf, n_phases, diff,
+                                  gate_scale=gsc)
         lane_sig = ctx.local_slice(lane_sig_g)
         incoming = jnp.where(meta_loc.has_prev, -1.0, sched_t)
 
@@ -152,7 +154,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
         bl_r = gl_r * prev_sig
         bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
         if diff:
-            s = soft_sigmoid(lane_sig - 0.5, 32.0)
+            s = soft_sigmoid(lane_sig - 0.5, 32.0 * gsc)
         else:
             s = (lane_sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s + 1.0 * (1.0 - s)
@@ -204,7 +206,7 @@ def _make_parts(env, mesh: Mesh, differentiable: bool = True,
             blend_mask = head["exists"] & ~spec_loc.is_macro
             if diff:
                 ms_sig = update_mean_psum(ms_sig, fsig, blend_mask)
-                const = 32.0 / jnp.maximum(
+                const = 32.0 * gsc / jnp.maximum(
                     jnp.abs(rms.mean_of(ms_sig, 1.0)), 1e-6)
                 fs = soft_sigmoid(fsig - 0.5, const)
                 pd = pd_g * fs + red_pd * (1.0 - fs)

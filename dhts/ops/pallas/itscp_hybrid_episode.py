@@ -120,6 +120,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     NIp = _round_up(n_inter, _LANE)
     NPp = _round_up(n_phases, _SUBLANE)
     dt = 1.0 / config["simulation_frequency"]
+    # soft signal-gate sharpness multiplier (1.0 = reference parity; see
+    # DEFAULT_CONFIG soft_gate_scale) — hard gates are unaffected
+    gsc = float(config.get("soft_gate_scale", 1.0))
     u_max = float(config["speed_limit"])
     static_speed = float(config["static_speed"])
     veh_len = float(config["vehicle_length"])
@@ -542,12 +545,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if wide_ops and diff:
             # both gate orientations in one stacked sigmoid chain
             d_ap = a_lane - progress
-            g2 = soft(jnp.concatenate([d_ap, -d_ap], axis=0), 32.0)
+            g2 = soft(jnp.concatenate([d_ap, -d_ap], axis=0), 32.0 * gsc)
             g_axis = jnp.where(cn["is_we"] > 0, g2[0:1], g2[1:2])
         else:
             g_axis = jnp.where(cn["is_we"] > 0,
-                               gate(a_lane - progress, 32.0),
-                               gate(progress - a_lane, 32.0))
+                               gate(a_lane - progress, 32.0 * gsc),
+                               gate(progress - a_lane, 32.0 * gsc))
         sig = jnp.where(cn["approaching"] > 0, g_axis, 1.0)
 
         incoming = jnp.where(cn["has_prev"] > 0, -1.0, sched_t)
@@ -631,7 +634,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         (gb[0:1, Lp:2 * Lp] > 0.5))
             gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
             gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
-            s_own = soft(sig - 0.5, 32.0) if diff else \
+            s_own = soft(sig - 0.5, 32.0 * gsc) if diff else \
                 (sig > 0.5).astype(jnp.float32)
             br_r = gr_r * s_own + (1.0 - s_own)
             br_u = gr_u * s_own
@@ -1058,7 +1061,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             sg_tot = sg_tot + jax.lax.stop_gradient(
                 ep_sum(fsig * blend.astype(jnp.float32), cn))
             sg_cnt = sg_cnt + ep_sum(blend.astype(jnp.float32), cn)
-            c_sig = ep_spread(32.0 / jnp.maximum(
+            c_sig = ep_spread(32.0 * gsc / jnp.maximum(
                 jnp.abs(sg_tot / jnp.maximum(sg_cnt, 1.0)), 1e-6), cn)
             fs = soft(fsig - 0.5, c_sig)
             pd = pd_g * fs + red_pd * (1.0 - fs)

@@ -108,6 +108,7 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
     NPp = _round_up(n_phases, _SUBLANE)
     NSFp = _round_up(nsf, _SUBLANE)
     dt = 1.0 / config["simulation_frequency"]
+    gsc = float(config.get("soft_gate_scale", 1.0))
     u_max = float(config["speed_limit"])
     static_speed = float(config["static_speed"])
     veh_len = float(config["vehicle_length"])
@@ -255,8 +256,9 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         pr_oh = (jax.lax.broadcasted_iota(jnp.int32, (NSFp, 1), 0) ==
                  (t % nsf)).astype(jnp.float32)
         progress = jnp.sum(gd["prog"] * pr_oh)
-        g_axis = jnp.where(gd["is_we_g"] > 0, gate(a_lane - progress, 32.0),
-                           gate(progress - a_lane, 32.0))
+        g_axis = jnp.where(gd["is_we_g"] > 0,
+                           gate(a_lane - progress, 32.0 * gsc),
+                           gate(progress - a_lane, 32.0 * gsc))
         return jnp.where(gd["appr_g"] > 0, g_axis, 1.0)
 
     def mean_of(part):  # part: [1,2] (sum, count) accumulated
@@ -454,7 +456,7 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
         blend = blend_f > 0.5
         pd = jnp.where(blend, pd, pd_g)
         sd = jnp.where(blend, sd, sd_g)
-        s_own = soft(sig - 0.5, 32.0) if diff else \
+        s_own = soft(sig - 0.5, 32.0 * gsc) if diff else \
             (sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s_own + (1.0 - s_own)
         br_u = gr_u * s_own
@@ -793,7 +795,7 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                   inj_left, comps[16])
         sg_ms2 = sg_ms + sg_part
         if diff:
-            c_sig = (32.0 / jnp.maximum(jnp.abs(mean_of(sg_ms2)),
+            c_sig = (32.0 * gsc / jnp.maximum(jnp.abs(mean_of(sg_ms2)),
                                         1e-6)).reshape(1, 1)
         else:
             c_sig = jnp.ones((1, 1))
@@ -978,7 +980,7 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
                      comps[14], inj_left, comps[16])
             if diff:
                 sg_ms = sg_ms + lax.psum(sg_part, axis_name)
-                c_sig = (32.0 / jnp.maximum(jnp.abs(mean_of(sg_ms)),
+                c_sig = (32.0 * gsc / jnp.maximum(jnp.abs(mean_of(sg_ms)),
                                             1e-6)).reshape(1, 1)
             else:
                 c_sig = jnp.ones((1, 1))
