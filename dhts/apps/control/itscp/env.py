@@ -65,6 +65,10 @@ DEFAULT_CONFIG = dict(
     # (round-4: soft loss kept falling while hard eval regressed); hard
     # mode is untouched.
     soft_gate_scale=1.0,
+    # "soft" (reference parity) | "st": straight-through gates — the SOFT
+    # episode's forward values become the HARD thresholds (training loss
+    # = hard eval metric) while gradients flow through the sigmoids
+    gate_mode="soft",
     max_num_micro_vehicle_per_lane=10,
     mode="macro",  # macro | micro | hybrid
     random_seed=0,
@@ -114,7 +118,8 @@ def signal_progress_table(num_signal_frame: int) -> jax.Array:
 
 
 def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
-                 differentiable: bool, gate_scale: float = 1.0):
+                 differentiable: bool, gate_scale: float = 1.0,
+                 st_mode: bool = False):
     """Per-lane stored signal (the reference's ``signal_info[1]``,
     ``_env.py:647``): approaching arms gate on the action-vs-progress
     comparison; mid connectors and leaving arms are always open."""
@@ -124,6 +129,11 @@ def lane_signals(meta: LaneMeta, action2d, t, num_signal_frame, n_phases,
     if differentiable:
         gate_we = soft_sigmoid(a - progress, 32.0 * gate_scale)
         gate_ns = soft_sigmoid(progress - a, 32.0 * gate_scale)
+        if st_mode:
+            gate_we = gate_we + jax.lax.stop_gradient(
+                (a > progress).astype(jnp.float32) - gate_we)
+            gate_ns = gate_ns + jax.lax.stop_gradient(
+                (progress > a).astype(jnp.float32) - gate_ns)
     else:
         gate_we = (a > progress).astype(jnp.float32)
         gate_ns = (progress > a).astype(jnp.float32)
@@ -135,6 +145,15 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
                      differentiable: bool, record: bool = False):
     """Build the jitted episode rollout for one scene/config."""
     gsc = float(config.get("soft_gate_scale", 1.0))
+    # gate_mode "st": hard-threshold forward values, soft gradients (the
+    # fused kernel's st_mode — see itscp_hybrid_episode.py)
+    st_mode = str(config.get("gate_mode", "soft")) == "st"
+
+    def stg(hard_val, soft_val):
+        if not st_mode:
+            return soft_val
+        return soft_val + jax.lax.stop_gradient(
+            hard_val.astype(jnp.float32) - soft_val)
     T = (config["policy_length"] * config["duration"] *
          config["simulation_frequency"])
     nsf = config["simulation_frequency"] * config["signal_length"]
@@ -158,7 +177,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         # same step serves chunked rollouts whose action covers one policy
         # round only (ItscpEnv.step)
         lane_sig = lane_signals(meta, action2d, t, nsf, action2d.shape[0],
-                                diff, gate_scale=gsc)
+                                diff, gate_scale=gsc, st_mode=st_mode)
         incoming = jnp.where(meta.has_prev, -1.0, sched_t)
 
         # ---- micro injection (before leader search; _simulator.py:153-174)
@@ -215,7 +234,8 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         gr_r, gr_u = network.get_macro_boundary(spec, state, left=False,
                                                 u_all=u_all)
         if diff:
-            s = soft_sigmoid(lane_sig - 0.5, 32.0 * gsc)
+            s = stg(lane_sig > 0.5, soft_sigmoid(lane_sig - 0.5,
+                                                  32.0 * gsc))
         else:
             s = (lane_sig > 0.5).astype(jnp.float32)
         br_r = gr_r * s + 1.0 * (1.0 - s)  # red downstream ghost: jam wall
@@ -253,11 +273,15 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         next_exist = next_l >= 0
         hp = head["position"]
         if diff:
-            p_score = jnp.where(prev_exist, soft_sigmoid(-hp, 16.0), 0.0)
-            c_score = (soft_sigmoid(hp, 16.0) *
-                       soft_sigmoid(spec.length - hp, 16.0))
-            n_score = jnp.where(next_exist,
-                                soft_sigmoid(hp - spec.length, 16.0), 0.0)
+            zero_r = jnp.zeros(L)
+            p_score = jnp.where(prev_exist,
+                                stg(zero_r, soft_sigmoid(-hp, 16.0)), 0.0)
+            c_score = stg(jnp.ones(L),
+                          soft_sigmoid(hp, 16.0) *
+                          soft_sigmoid(spec.length - hp, 16.0))
+            n_score = jnp.where(
+                next_exist,
+                stg(zero_r, soft_sigmoid(hp - spec.length, 16.0)), 0.0)
         else:
             p_score = jnp.zeros(L)
             c_score = jnp.ones(L)
@@ -276,7 +300,7 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
             signal_ms = rms.update_mean_masked(signal_ms, fsig, blend_mask)
             const = 32.0 * gsc / jnp.maximum(
                 jnp.abs(rms.mean_of(signal_ms, 1.0)), 1e-6)
-            fs = soft_sigmoid(fsig - 0.5, const)
+            fs = stg(fsig >= 0.5, soft_sigmoid(fsig - 0.5, const))
             pd = pd_g * fs + red_pd * (1.0 - fs)
             sd = sd_g * fs  # red speed delta is 0
         else:
@@ -312,7 +336,8 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
         if diff:
             const = 16.0 / jnp.maximum(
                 jnp.abs(rms.mean_of(is_static_ms, 1.0)), 1e-6)
-            stat_c = soft_sigmoid(static_speed - u_cells, const)
+            stat_c = stg(u_cells < static_speed,
+                         soft_sigmoid(static_speed - u_cells, const))
         else:
             stat_c = (u_cells < static_speed).astype(jnp.float32)
         n_veh_per_cell = (state.macro.r * spec.cell_length[:, None] / veh_len)
@@ -321,7 +346,9 @@ def _make_episode_fn(spec: SceneSpec, meta: LaneMeta, config,
             q_lane = q_macro
         else:
             if diff:
-                stat_v = soft_sigmoid(static_speed - state.micro.speed, const)
+                stat_v = stg(state.micro.speed < static_speed,
+                             soft_sigmoid(static_speed - state.micro.speed,
+                                          const))
             else:
                 stat_v = (state.micro.speed < static_speed).astype(
                     jnp.float32)

@@ -50,6 +50,10 @@ def main(argv=None):
                    help="hard-mode episodes averaged per eval point "
                         "(fixed held-out keys: the curve is comparable "
                         "across epochs)")
+    p.add_argument("--gate_mode", choices=["soft", "st"], default="soft",
+                   help="st: straight-through gates — train on the HARD "
+                        "queue metric with soft gradients (no soft/hard "
+                        "surrogate gap); soft: reference parity")
     p.add_argument("--soft_gate_scale", type=float, default=1.0,
                    help="sharpen the SOFT signal gates by this factor "
                         "(training only; hard eval unchanged). >1 narrows "
@@ -96,6 +100,7 @@ def main(argv=None):
         random_seed=args.seed,
         use_fused_episode=args.fused_episode,
         soft_gate_scale=args.soft_gate_scale,
+        gate_mode=args.gate_mode,
         use_wide_ops=args.wide_ops or None),
         schedule_fn=PROBLEMS[args.problem])
 

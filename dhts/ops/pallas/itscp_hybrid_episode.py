@@ -123,6 +123,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # soft signal-gate sharpness multiplier (1.0 = reference parity; see
     # DEFAULT_CONFIG soft_gate_scale) — hard gates are unaffected
     gsc = float(config.get("soft_gate_scale", 1.0))
+    # gate_mode "st": straight-through gates — FORWARD values are the hard
+    # thresholds (so the training loss is the hard eval metric, closing
+    # the soft/hard surrogate gap 5x5 training exploits), gradients flow
+    # through the soft sigmoids. "soft" (default) = reference parity.
+    st_mode = str(config.get("gate_mode", "soft")) == "st"
     u_max = float(config["speed_limit"])
     static_speed = float(config["static_speed"])
     veh_len = float(config["vehicle_length"])
@@ -371,8 +376,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     def soft(x, c):
         return jax.nn.sigmoid(jnp.clip(x * c, -16.0, 16.0))
 
+    def stg(hard_val, soft_val):
+        """Straight-through gate: forward = ``hard_val`` (the hard
+        kernel's threshold value), backward = d(``soft_val``). No-op in
+        plain soft mode."""
+        if not st_mode:
+            return soft_val
+        return soft_val + jax.lax.stop_gradient(
+            hard_val.astype(jnp.float32) - soft_val)
+
     def gate(x, c):
-        return soft(x, c) if diff else (x > 0).astype(jnp.float32)
+        if not diff:
+            return (x > 0).astype(jnp.float32)
+        return stg((x > 0), soft(x, c))
 
     def oh_l(idx_row):
         """[Lp, Lp] one-hot columns of a [1, Lp] int row (invalid -> zero)."""
@@ -545,7 +561,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         if wide_ops and diff:
             # both gate orientations in one stacked sigmoid chain
             d_ap = a_lane - progress
-            g2 = soft(jnp.concatenate([d_ap, -d_ap], axis=0), 32.0 * gsc)
+            d2 = jnp.concatenate([d_ap, -d_ap], axis=0)
+            g2 = stg(d2 > 0, soft(d2, 32.0 * gsc))
             g_axis = jnp.where(cn["is_we"] > 0, g2[0:1], g2[1:2])
         else:
             g_axis = jnp.where(cn["is_we"] > 0,
@@ -634,7 +651,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         (gb[0:1, Lp:2 * Lp] > 0.5))
             gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
             gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
-            s_own = soft(sig - 0.5, 32.0 * gsc) if diff else \
+            s_own = stg(sig > 0.5, soft(sig - 0.5, 32.0 * gsc)) if diff else \
                 (sig > 0.5).astype(jnp.float32)
             br_r = gr_r * s_own + (1.0 - s_own)
             br_u = gr_u * s_own
@@ -1038,13 +1055,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             s4 = soft(jnp.concatenate(
                 [-hv_pos, hv_pos, cn["length"] - hv_pos,
                  hv_pos - cn["length"]], axis=0), 16.0)
-            p_sc = jnp.where(prev_exist, s4[0:1], 0.0)
-            c_sc = s4[1:2] * s4[2:3]
-            n_sc = jnp.where(next_exist, s4[3:4], 0.0)
+            zero_r = jnp.zeros((1, Lp))
+            p_sc = jnp.where(prev_exist, stg(zero_r, s4[0:1]), 0.0)
+            c_sc = stg(jnp.ones((1, Lp)), s4[1:2] * s4[2:3])
+            n_sc = jnp.where(next_exist, stg(zero_r, s4[3:4]), 0.0)
         elif diff:
-            p_sc = jnp.where(prev_exist, soft(-hv_pos, 16.0), 0.0)
-            c_sc = soft(hv_pos, 16.0) * soft(cn["length"] - hv_pos, 16.0)
-            n_sc = jnp.where(next_exist, soft(hv_pos - cn["length"], 16.0),
+            zero_r = jnp.zeros((1, Lp))
+            p_sc = jnp.where(prev_exist, stg(zero_r, soft(-hv_pos, 16.0)),
+                             0.0)
+            c_sc = stg(jnp.ones((1, Lp)),
+                       soft(hv_pos, 16.0) * soft(cn["length"] - hv_pos,
+                                                 16.0))
+            n_sc = jnp.where(next_exist,
+                             stg(zero_r, soft(hv_pos - cn["length"], 16.0)),
                              0.0)
         else:
             p_sc = jnp.zeros((1, Lp))
@@ -1063,7 +1086,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             sg_cnt = sg_cnt + ep_sum(blend.astype(jnp.float32), cn)
             c_sig = ep_spread(32.0 * gsc / jnp.maximum(
                 jnp.abs(sg_tot / jnp.maximum(sg_cnt, 1.0)), 1e-6), cn)
-            fs = soft(fsig - 0.5, c_sig)
+            fs = stg(fsig >= 0.5, soft(fsig - 0.5, c_sig))
             pd = pd_g * fs + red_pd * (1.0 - fs)
             sd = sd_g * fs
         else:
@@ -1438,7 +1461,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # leaves the other half's sum bit-identical to the separate
             # reduces + where-select
             x_all = static_speed - jnp.concatenate([u_cells, vel], axis=0)
-            s_all = soft(x_all, c_st) if diff else \
+            s_all = stg(x_all > 0, soft(x_all, c_st)) if diff else \
                 (x_all > 0).astype(jnp.float32)
             w_all = jnp.concatenate(
                 [(r * cn["cell_len"] / veh_len) * cn["cmask"], veh_m],
@@ -1446,8 +1469,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             q_lane = jnp.sum(s_all * w_all, axis=0, keepdims=True)
         else:
             if diff:
-                stat_c = soft(static_speed - u_cells, c_st)
-                stat_v = soft(static_speed - vel, c_st)
+                stat_c = stg(u_cells < static_speed,
+                             soft(static_speed - u_cells, c_st))
+                stat_v = stg(vel < static_speed,
+                             soft(static_speed - vel, c_st))
             else:
                 stat_c = (u_cells < static_speed).astype(jnp.float32)
                 stat_v = (vel < static_speed).astype(jnp.float32)
