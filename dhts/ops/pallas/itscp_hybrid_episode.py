@@ -183,6 +183,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # latched rows are stop-gradient walk data). Only the early-exit
     # walk (W >= 8, which every banded scene takes) is instrumented.
     lead_latch = banded and wide_ops and W >= 8
+    # Merge the four base-geometry FORWARD gather families (walk hop 0 +
+    # leader latch, boundary ghosts, the 3 signal lookups, the two event
+    # destination probes) into ONE banded gather_multi call: same one-hot
+    # columns per block (bit-identical values), 4x fewer chunk dots and
+    # one iota build per chunk instead of four. Forward-only: the
+    # early-exit kernel is never differentiated (the backward kernel
+    # replays from residuals), so the per-family sg/diff split is moot.
+    merge_fwd = (lead_latch and
+                 _os.environ.get("DHTS_MERGE_FWD_GATHERS", "0") == "1")
     chunk_starts = tuple(
         min(max(chunk_c * j - _pad, 0), Lp - win)
         for j in range(n_chunks)) if banded else ()
@@ -631,31 +640,38 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
-        def boundary_rows(gb):
-            gp = gb[0:3, :Lp]
+        def boundary_rows_v(mac_p, rl_p, ul_p, mac_n, rf_n, uf_n, sig_mp):
+            """Boundary ghost values from the 7 gathered rows (values
+            form, so the merged forward gather can feed its own block
+            slices; bit-identical to :func:`boundary_rows`)."""
             use_nb_l = ((cn["num_prev"] > 0) & (adjp >= 0) &
-                        (gp[0:1] > 0.5))
+                        (mac_p > 0.5))
             hp_b = cn["has_prev"] > 0
-            gl_r = jnp.where(hp_b, jnp.where(use_nb_l, gp[1:2], 0.0),
+            gl_r = jnp.where(hp_b, jnp.where(use_nb_l, rl_p, 0.0),
                              incoming)
-            gl_u = jnp.where(hp_b, jnp.where(use_nb_l, gp[2:3], u_max),
+            gl_u = jnp.where(hp_b, jnp.where(use_nb_l, ul_p, u_max),
                              arz.compute_u_eq(incoming, u_max))
             # prev_sig follows mprev_t, which equals adjp only on
-            # single-prev lanes -> its own gather (block 3 of gb)
+            # single-prev lanes -> its own gather
             prev_sig = jnp.where(~hp_b, 1.0,
-                                 jnp.where(mprev_t < 0, 0.0,
-                                           gb[5:6, 2 * Lp:3 * Lp]))
+                                 jnp.where(mprev_t < 0, 0.0, sig_mp))
             bl_r = gl_r * prev_sig
             bl_u = gl_u * prev_sig + u_max * (1.0 - prev_sig)
             use_nb_r = ((cn["num_next"] > 0) & (adjn >= 0) &
-                        (gb[0:1, Lp:2 * Lp] > 0.5))
-            gr_r = jnp.where(use_nb_r, gb[3:4, Lp:2 * Lp], 0.0)
-            gr_u = jnp.where(use_nb_r, gb[4:5, Lp:2 * Lp], u_max)
+                        (mac_n > 0.5))
+            gr_r = jnp.where(use_nb_r, rf_n, 0.0)
+            gr_u = jnp.where(use_nb_r, uf_n, u_max)
             s_own = stg(sig > 0.5, soft(sig - 0.5, 32.0 * gsc)) if diff else \
                 (sig > 0.5).astype(jnp.float32)
             br_r = gr_r * s_own + (1.0 - s_own)
             br_u = gr_u * s_own
             return bl_r, bl_u, br_r, br_u
+
+        def boundary_rows(gb):
+            return boundary_rows_v(
+                gb[0:1, :Lp], gb[1:2, :Lp], gb[2:3, :Lp],
+                gb[0:1, Lp:2 * Lp], gb[3:4, Lp:2 * Lp],
+                gb[4:5, Lp:2 * Lp], gb[5:6, 2 * Lp:3 * Lp])
 
         # ---- micro leader search (window form of find_micro_leader)
         ohv_h = head_oh(count)
@@ -793,6 +809,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
                  jnp.full((1, Lp), -1, jnp.int32), jnp.zeros((1, Lp)), base)
         boundary_out = None
+        GUm = None  # the merged forward gather (merge_fwd), set below
         if walk_saved is not None:
             # backward replay: the walk's terminating state was saved as a
             # per-step residual by the forward (it is deterministic and
@@ -866,13 +883,34 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 geom1 = (win, chunk_starts)
                 wl_all = [next_l] + (wl_peel if lead_latch else [])
                 geoms = [geom1] + peel_geoms
+                if merge_fwd:
+                    # ONE base-geometry gather: rows 0-4 feed walk hop 0
+                    # (block 0), row 9 the signal lookups (blocks 0-2),
+                    # rows 0/5-8/9 the boundary ghosts (blocks 3-5), rows
+                    # 0-4 the event destination probes (blocks 6 and 0)
+                    rows_u = jnp.concatenate(
+                        [cn["is_macro"], count_row, cn["length"], pos[:1],
+                         vel[:1], r_last, u_last, r_first, u_first, sig],
+                        axis=0)
+                    GUm = gather_multi(
+                        rows_u, [next_l, curr_l, prev_l, adjp, adjn,
+                                 mprev_t, mnext_t], sg=True)
+                    bu = lambda k: slice(k * Lp, (k + 1) * Lp)
+                    boundary_out = boundary_rows_v(
+                        GUm[0:1, bu(3)], GUm[5:6, bu(3)], GUm[6:7, bu(3)],
+                        GUm[0:1, bu(4)], GUm[7:8, bu(4)], GUm[8:9, bu(4)],
+                        GUm[9:10, bu(5)])
                 groups = []  # [(geom, [hop, ...])]
                 for i, g in enumerate(geoms[:len(wl_all)]):
+                    if i == 0 and merge_fwd:
+                        continue  # hop 0 latches from the merged gather
                     if groups and groups[-1][0] == g:
                         groups[-1][1].append(i)
                     else:
                         groups.append((g, [i]))
                 w_init = walk0_l
+                if merge_fwd:
+                    w_init = walk_latch(next_l, GUm[0:5, :Lp], *w_init)
                 for g, hops in groups:
                     gwc = gather_multi(rows_cat0,
                                        [wl_all[i] for i in hops],
@@ -1002,9 +1040,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 sig_p = gather_multi(sig, [prev_l])
                 sig_n = gather_multi(sig, [next_l])
             else:
-                sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
-                sig_c, sig_p, sig_n = (sig3[:, :Lp], sig3[:, Lp:2 * Lp],
-                                       sig3[:, 2 * Lp:])
+                if GUm is not None:
+                    # blocks 1/2/0 of the merged forward gather (row 9 =
+                    # sig) — bit-identical to the dedicated sig3 gather
+                    sig_c = GUm[9:10, Lp:2 * Lp]
+                    sig_p = GUm[9:10, 2 * Lp:3 * Lp]
+                    sig_n = GUm[9:10, :Lp]
+                else:
+                    sig3 = gather_multi(sig, [curr_l, prev_l, next_l])
+                    sig_c, sig_p, sig_n = (sig3[:, :Lp],
+                                           sig3[:, Lp:2 * Lp],
+                                           sig3[:, 2 * Lp:])
         elif walk_saved is not None and wide_ops:
             # replay: curr_l/next_l are lane-block SLICES of the wide
             # [1, 5Lp] ids residual and carry lane offsets (Lp, 2Lp) —
@@ -1184,20 +1230,45 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # destination probes for BOTH event families (macro->micro
             # emission at mnext, head exits at hnext) in ONE gather; every
             # row only feeds event PREDICATES -> stop-gradient
-            gmh_rows = jnp.concatenate([cn["is_macro"], count_row, pos[:1],
-                                        cn["length"]], axis=0)
-            if banded:
+            if GUm is not None:
+                # destination probes from the merged forward gather: the
+                # merged call ran PRE-IDM, so the post-IDM tail position
+                # is recomputed from its pos/vel rows with the exact IDM
+                # update (where(count>0, pos + dt*vel, pos)) — the same
+                # f32 ops on the same values, bit-identical; hnext ==
+                # next_l rides block 0
                 ohmh = None
-                gmh = gather_multi(gmh_rows, [mnext_t, hnext], sg=True)
+                gmh = None
+                b6 = slice(6 * Lp, 7 * Lp)
+                gm_rows = (GUm[0:1, b6], GUm[1:2, b6],
+                           jnp.where(GUm[1:2, b6] > 0.0,
+                                     GUm[3:4, b6] + dt * GUm[4:5, b6],
+                                     GUm[3:4, b6]),
+                           GUm[2:3, b6])
+                hn_mac_row = GUm[0:1, :Lp]
+                hn_cnt_row = GUm[1:2, :Lp]
+                next_is_micro = macro_src & (gm_rows[0] < 0.5)
+            elif banded:
+                ohmh = None
+                gmh = gather_multi(jnp.concatenate(
+                    [cn["is_macro"], count_row, pos[:1], cn["length"]],
+                    axis=0), [mnext_t, hnext], sg=True)
             else:
+                gmh_rows = jnp.concatenate(
+                    [cn["is_macro"], count_row, pos[:1], cn["length"]],
+                    axis=0)
                 ohmh = (cn["dummy_oh"][:, :2 * Lp] if "ohmh" in _ablate else
                         oh_multi([mnext_t, hnext]))
                 gmh = jax.lax.stop_gradient(jnp.dot(
                     gmh_rows, ohmh,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
-            gm = gmh[:, :Lp]
-            next_is_micro = macro_src & (gm[0:1] < 0.5)
+            if GUm is None:
+                gm_rows = (gmh[0:1, :Lp], gmh[1:2, :Lp], gmh[2:3, :Lp],
+                           gmh[3:4, :Lp])
+                hn_mac_row = gmh[0:1, Lp:]
+                hn_cnt_row = gmh[1:2, Lp:]
+                next_is_micro = macro_src & (gm_rows[0] < 0.5)
         inc = jnp.where(next_is_micro, r_last * u_last * dt, 0.0)
         slot_oh = ((cn["next_k"] == mnext_t) &
                    (cn["next_k"] >= 0)).astype(jnp.float32)  # [K, Lp]
@@ -1207,18 +1278,18 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
         if conv_saved is None:
-            dest_count = gm[1:2]
+            dest_count = gm_rows[1]
             free_n = jnp.where(dest_count > 0.5,
-                               gm[2:3] - 0.5 * veh_len, gm[3:4])
+                               gm_rows[2] - 0.5 * veh_len, gm_rows[3])
             want_emit = (next_is_micro &
                          (jax.lax.stop_gradient(cap_val) >= veh_len) &
                          (free_n >= veh_len) & (dest_count < V))
 
             past_end = h_exists & (hv_pos >= cn["length"])
-            hn_macro = (hnext >= 0) & (gmh[0:1, Lp:] > 0.5)
+            hn_macro = (hnext >= 0) & (hn_mac_row > 0.5)
             hn_micro = (hnext >= 0) & ~hn_macro
             exit_none = past_end & (hnext < 0)
-            want_tr = past_end & hn_micro & (gmh[1:2, Lp:] < V)
+            want_tr = past_end & hn_micro & (hn_cnt_row < V)
             want_dep = h_exists & hn_macro & (hv_pos >
                                               cn["length"] + veh_len)
 
