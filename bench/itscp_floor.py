@@ -8,6 +8,14 @@ is the task, not the training. Usage::
 
     python bench/itscp_floor.py [--problem 1] [--n 5] [--ckpt PATH]
 
+``--cma per_int`` additionally runs CMA-ES (gradient-free, so it
+optimizes the HARD metric directly — no soft-surrogate gap) over a
+per-intersection constant action (dim n², tiled across phases): the
+best static signal plan. ``--cma full`` optimizes the full open-loop
+``[n_phases, n²]`` action. Both bound the reachable floor much tighter
+than the flat-constant sweep — if CMA can't beat the trained
+controller, the training plateau is the task, not the optimizer.
+
 Prints one JSON line. (Reference has no counterpart; its presets cap at
 3x3 — ``example/control/itscp/run.py``.)
 """
@@ -36,6 +44,9 @@ def main():
     p.add_argument("--n_eval", type=int, default=4)
     p.add_argument("--ckpt", type=str, default=None,
                    help="model.msgpack to also evaluate")
+    p.add_argument("--cma", choices=["per_int", "full"], default=None,
+                   help="CMA-ES floor search on the hard metric")
+    p.add_argument("--cma_evals", type=int, default=960)
     args = p.parse_args()
 
     env = ItscpEnv(config=dict(
@@ -73,6 +84,36 @@ def main():
         state = serialization.msgpack_restore(open(args.ckpt, "rb").read())
         raw = model.apply(state["params"], obs)
         out["ckpt_eval_queue"] = -ev(squash_action(raw, lo, hi))
+
+    if args.cma:
+        from dhts.utils.cma_es import CmaEs
+
+        n_int = args.n * args.n
+        n_phases = env.action_size() // n_int
+        dim = n_int if args.cma == "per_int" else env.action_size()
+
+        def expand(x):  # [B, dim] -> [B, action_size]
+            if args.cma == "per_int":
+                return jnp.tile(x, (1, n_phases))
+            return x
+
+        hard_batch = jax.jit(jax.vmap(
+            lambda a, k: env._fused_episode_one(False)(
+                a, env.data, k).reward, in_axes=(0, None)))
+
+        def batch_obj(xs):  # minimize mean eval queue across the keys
+            a = expand(jnp.asarray(xs, jnp.float32))
+            qs = [np.asarray(jax.block_until_ready(hard_batch(a, k)))
+                  for k in keys]
+            return -np.mean(qs, axis=0)
+
+        x0 = np.full((dim,), lo + (hi - lo) * 0.3)
+        es = CmaEs(x0, sigma=0.2 * (hi - lo), lower=lo, upper=hi,
+                   seed=args.seed)
+        hist, _, best_x = es.optimize(batch_obj, args.cma_evals)
+        out[f"cma_{args.cma}_eval_queue"] = float(hist.min())
+        out[f"cma_{args.cma}_evals"] = int(hist.size)
+        out[f"cma_{args.cma}_dim"] = dim
     print(json.dumps(out))
 
 

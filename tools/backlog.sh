@@ -65,8 +65,25 @@ run_step() {  # run_step NAME TIMEOUT_S OUT_JSON CMD...
 }
 
 STEPS=${*:-"wide_check slope_narrow slope_wide banded5 banded7 banded9 bench"}
+mkdir -p result/merge
 for s in $STEPS; do
   case $s in
+    merge5)       run_step merge5 1800 result/merge/merge5.json \
+                    python bench/merge_check.py 5 ;;
+    merge7)       run_step merge7 2400 result/merge/merge7.json \
+                    python bench/merge_check.py 7 ;;
+    merge9)       run_step merge9 3600 result/merge/merge9.json \
+                    python bench/merge_check.py 9 ;;
+    split79)      run_step split79 3600 result/merge/split79.json \
+                    python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
+    probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
+                    python bench/probe_banded.py ;;
+    floor_cma1)   run_step floor_cma1 3600 result/control/floor_cma1.json \
+                    python bench/itscp_floor.py --problem 1 --cma per_int ;;
+    floor_cma2)   run_step floor_cma2 3600 result/control/floor_cma2.json \
+                    python bench/itscp_floor.py --problem 2 --cma per_int ;;
+    floor_cma3)   run_step floor_cma3 3600 result/control/floor_cma3.json \
+                    python bench/itscp_floor.py --problem 3 --cma per_int ;;
     wide_check)   run_step wide_check 2400 result/wide/wide_check.json \
                     python bench/wide_check.py ;;
     slope_narrow) run_step slope_narrow 2400 result/wide/slope_narrow.json \
