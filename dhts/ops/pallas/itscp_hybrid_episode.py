@@ -218,9 +218,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # stays in the dense loop. Capped at 3 peeled hops: deeper hops are
     # rare, and a peeled hop's gather runs every step even when all
     # walks have terminated.
+    # DHTS_PEEL_CAP: max hops peeled past hop 0 (default 3). The round-4
+    # device probe (result/merge/probe_banded.json) measured banded dot
+    # cost SUPERLINEAR in window width (0.33 us at win=384 vs ~5 us at
+    # win>=640), so a deep peel's every-step wide-window gathers can cost
+    # more than the dense-loop iterations they remove at 9x9 — A/B per
+    # scene before trusting the cap.
+    peel_cap = int(_os.environ.get("DHTS_PEEL_CAP", "3"))
     peel_geoms = []
     if lead_latch:
-        for _o in range(1, min(W, 4)):
+        for _o in range(1, min(W, 1 + peel_cap)):
             _g = _mk_windows(_o + 1)
             if _g is None:
                 break
