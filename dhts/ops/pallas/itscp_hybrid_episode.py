@@ -218,12 +218,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # stays in the dense loop. Capped at 3 peeled hops: deeper hops are
     # rare, and a peeled hop's gather runs every step even when all
     # walks have terminated.
-    # DHTS_PEEL_CAP: max hops peeled past hop 0 (default 3). The round-4
-    # device probe (result/merge/probe_banded.json) measured banded dot
-    # cost SUPERLINEAR in window width (0.33 us at win=384 vs ~5 us at
-    # win>=640), so a deep peel's every-step wide-window gathers can cost
-    # more than the dense-loop iterations they remove at 9x9 — A/B per
-    # scene before trusting the cap.
+    # DHTS_PEEL_CAP: max hops peeled past hop 0 (default 3). Device A/B
+    # at 7x7/9x9 (result/merge/peel{7,9}.json) measured caps 0-3 within
+    # +-0.5% — the RTT-cancelling slope probe (bench/probe_split.py)
+    # puts a win=640 banded gather at ~0.2 us, so neither the peeled
+    # wide-window gathers nor the dense hops they replace are a
+    # material cost at any measured size. The knob stays for per-scene
+    # A/Bs. (result/merge/probe_banded.json's apparent superlinear
+    # window cost was a measurement artifact: insufficient tunnel-RTT
+    # amortization — trust only slope-method probes.)
     peel_cap = int(_os.environ.get("DHTS_PEEL_CAP", "3"))
     peel_geoms = []
     if lead_latch:
