@@ -42,14 +42,19 @@ def main():
 
     envs = {600: build_env(20), 150: build_env(5)}
 
-    def time_fn(f, a, reps):
-        out = f(a)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(a)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+    import numpy as np
+
+    def time_fn(f, a_list, reps):
+        # Round-4 axon lessons: block_until_ready does not round-trip and
+        # identical-buffer calls are served without re-execution — force
+        # completion with a host fetch and cycle DISTINCT inputs per rep.
+        np.asarray(f(a_list[-1]))
+        times = []
+        for a in a_list[:reps]:
+            t0 = time.perf_counter()
+            np.asarray(f(a))
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     def measure(tag, ablate, grad=True):
         times = {}
@@ -65,8 +70,9 @@ def main():
             d = env.data
             rand = jax.random.uniform(jax.random.PRNGKey(0),
                                       (T, spec.num_lanes))
-            a2 = jnp.full((kern.geometry["n_phases"],
-                           cfg["num_intersection"] ** 2), 0.5)
+            a2s = [jnp.full((kern.geometry["n_phases"],
+                             cfg["num_intersection"] ** 2),
+                            0.5 + 1e-4 * i) for i in range(args.reps)]
 
             def fwd(a):
                 r, q = kern(a, d.schedule, d.mroute_next, d.mroute_prev,
@@ -75,7 +81,7 @@ def main():
                 return r
 
             f = jax.jit(jax.grad(fwd) if grad else fwd)
-            times[T] = time_fn(f, a2, args.reps)
+            times[T] = time_fn(f, a2s, args.reps)
         slope = (times[600] - times[150]) / 450.0
         print(json.dumps(dict(tag=tag, grad=grad,
                               usec_per_step=round(slope * 1e6, 2),

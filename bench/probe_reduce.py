@@ -70,6 +70,7 @@ def main():
     cases = {
         "sum_lanes_1row": (1, Lp), "max_lanes_1row": (1, Lp),
         "sum_lanes_8rows": (8, Lp),
+        "cumsum_lanes": (1, Lp),
         "concat_lane_halves": (1, Lp), "onehot_640x128": (1, 128),
         "sum_sublanes_8rows": (8, Lp), "pad_row": (1, Lp),
     }
