@@ -89,13 +89,22 @@ def main():
                               t150_ms=round(times[150] * 1e3, 2))),
               flush=True)
 
+    def try_measure(tag, ablate, grad):
+        # ablation stubs can break Mosaic's VMEM windowing at 9x9
+        # (observed: f32[1408,43648] input window refused) — record the
+        # failure and keep attributing the remaining families
+        try:
+            measure(tag, ablate, grad=grad)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps(dict(tag=tag, error=str(e)[:200])), flush=True)
+
     fams = ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4", "riemann", "idm"]
-    measure("none", [], grad=not args.fwd_only)
+    try_measure("none", [], grad=not args.fwd_only)
     for f in fams:
-        measure(f"-{f}", [f], grad=not args.fwd_only)
-    measure("-all_oh", ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"],
-            grad=not args.fwd_only)
-    measure("-everything", fams, grad=not args.fwd_only)
+        try_measure(f"-{f}", [f], grad=not args.fwd_only)
+    try_measure("-all_oh", ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"],
+                grad=not args.fwd_only)
+    try_measure("-everything", fams, grad=not args.fwd_only)
 
 
 if __name__ == "__main__":

@@ -250,14 +250,20 @@ class Trainer:
 
     def train(self, num_episode_per_epoch: int, num_epoch: int,
               num_eval_epoch: int, num_eval_episode: int, log_path: str,
-              verbose: bool = True):
+              verbose: bool = True, initial_best: float = -float("inf"),
+              epoch_offset: int = 0):
+        """``initial_best``/``epoch_offset`` support staged runs (e.g. gate
+        -scale annealing) that call train() repeatedly on fresh Trainers
+        sharing one ``log_path``: the best-checkpoint bar carries across
+        stages and metric/TB epochs stay monotone."""
         os.makedirs(log_path, exist_ok=True)
         metrics_path = os.path.join(log_path, "metrics.jsonl")
         tb = _maybe_tensorboard(log_path)
-        self.best_eval_reward = -float("inf")
+        self.best_eval_reward = initial_best
         history = []
 
-        for epoch in range(num_epoch):
+        for _epoch in range(num_epoch):
+            epoch = _epoch + epoch_offset
             if epoch % max(1, num_eval_epoch) == 0:
                 self.evaluate(epoch, num_eval_episode, log_path, tb, verbose)
 
