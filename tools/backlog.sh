@@ -78,6 +78,14 @@ for s in $STEPS; do
                     python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
+    anneal1)      run_step anneal1 3600 result/control/anneal1.json \
+                    python tools/anneal_5x5.py 1 ;;
+    anneal2)      run_step anneal2 3600 result/control/anneal2.json \
+                    python tools/anneal_5x5.py 2 ;;
+    anneal3)      run_step anneal3 3600 result/control/anneal3.json \
+                    python tools/anneal_5x5.py 3 ;;
+    ablate7)      run_step ablate7 5400 result/merge/ablate7.json \
+                    python bench/ablate_kernel.py --grid 7 --reps 6 --fwd_only ;;
     floor_cma1)   run_step floor_cma1 3600 result/control/floor_cma1.json \
                     python bench/itscp_floor.py --problem 1 --cma per_int ;;
     floor_cma2)   run_step floor_cma2 3600 result/control/floor_cma2.json \
