@@ -78,26 +78,31 @@ def main():
     if args.case:
         cases = {args.case: cases[args.case]}
     for case, shape in cases.items():
-        rng = np.random.default_rng(0)
-        xs = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-              for _ in range(args.reps)]
-        ts = {}
-        for iters in (args.iters, args.iters * 6):
-            fn = pl.pallas_call(
-                functools.partial(mk(case), iters=iters),
-                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))
-            jfn = jax.jit(fn)
-            np.asarray(jfn(xs[-1]))
-            times = []
-            for x in xs:
-                t0 = time.perf_counter()
-                np.asarray(jfn(x))
-                times.append(time.perf_counter() - t0)
-            ts[iters] = min(times)
-        per_op = ((ts[args.iters * 6] - ts[args.iters]) /
-                  (args.iters * 5) * 1e9)
-        print(json.dumps({"case": case,
-                          "nsec_per_op": round(per_op, 1)}), flush=True)
+        try:
+            rng = np.random.default_rng(0)
+            xs = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+                  for _ in range(args.reps)]
+            ts = {}
+            for iters in (args.iters, args.iters * 6):
+                fn = pl.pallas_call(
+                    functools.partial(mk(case), iters=iters),
+                    out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))
+                jfn = jax.jit(fn)
+                np.asarray(jfn(xs[-1]))
+                times = []
+                for x in xs:
+                    t0 = time.perf_counter()
+                    np.asarray(jfn(x))
+                    times.append(time.perf_counter() - t0)
+                ts[iters] = min(times)
+            per_op = ((ts[args.iters * 6] - ts[args.iters]) /
+                      (args.iters * 5) * 1e9)
+            print(json.dumps({"case": case,
+                              "nsec_per_op": round(per_op, 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — e.g. cumsum never lowers
+            print(json.dumps({"case": case, "error": str(e)[:160]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
