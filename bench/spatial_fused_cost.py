@@ -18,10 +18,12 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--grid", type=int, default=3)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.sharding import Mesh
 
     from dhts.apps.control.itscp.env import ItscpEnv
@@ -29,7 +31,7 @@ def main():
     from dhts.ops.pallas.itscp_spatial_step import make_fused_spatial_episode
 
     def build(policy_length):
-        cfg = dict(num_intersection=3, num_lane=1, lane_length=5.0,
+        cfg = dict(num_intersection=args.grid, num_lane=1, lane_length=5.0,
                    speed_limit=60.0, cell_length=5.0,
                    policy_length=policy_length, signal_length=4,
                    simulation_frequency=30, random_seed=3, mode="hybrid",
@@ -44,28 +46,34 @@ def main():
         def loss(a):
             return -ep(jnp.full((n_act,), 0.5) * a, key).reward
 
-        return jax.jit(jax.grad(loss)), jnp.ones(()), env.num_timestep
+        return jax.jit(jax.grad(loss)), env.num_timestep
 
     fns = {}
+    Ts = []
     for pl_ in (20, 80):
-        f, a, T = build(pl_)
-        fns[T] = (f, a)
+        f, T = build(pl_)
+        fns[T] = f
+        Ts.append(T)
 
-    def time_one(f, a, reps):
-        out = f(a)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(a)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+    def time_one(f, reps):
+        # round-4 axon lessons: cycle DISTINCT inputs and force completion
+        # with a host fetch (block_until_ready does not round-trip and
+        # identical-buffer calls are served without re-execution)
+        a_list = [jnp.float32(1.0 + 1e-4 * i) for i in range(reps + 1)]
+        np.asarray(f(a_list[-1]))
+        times = []
+        for a in a_list[:reps]:
+            t0 = time.perf_counter()
+            np.asarray(f(a))
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     slopes = []
     for _ in range(3):
-        times = {T: time_one(f, a, args.reps) for T, (f, a) in fns.items()}
-        slopes.append((times[2400] - times[600]) / 1800.0)
+        times = {T: time_one(f, args.reps) for T, f in fns.items()}
+        slopes.append((times[Ts[1]] - times[Ts[0]]) / (Ts[1] - Ts[0]))
     print(json.dumps(dict(
-        kind="sharded_fused_1dev_fwd_bwd",
+        kind="sharded_fused_1dev_fwd_bwd", grid=args.grid,
         usec_per_step=round(min(slopes) * 1e6, 2),
         all_rounds=[round(s * 1e6, 2) for s in slopes])), flush=True)
 

@@ -86,6 +86,10 @@ for s in $STEPS; do
                     python tools/anneal_5x5.py 3 ;;
     ablate7)      run_step ablate7 5400 result/merge/ablate7.json \
                     python bench/ablate_kernel.py --grid 7 --reps 6 --fwd_only ;;
+    spatial7)     run_step spatial7 3600 result/merge/spatial7.json \
+                    python bench/spatial_fused_cost.py --grid 7 ;;
+    spatial9)     run_step spatial9 3600 result/merge/spatial9.json \
+                    python bench/spatial_fused_cost.py --grid 9 ;;
     floor_cma1)   run_step floor_cma1 3600 result/control/floor_cma1.json \
                     python bench/itscp_floor.py --problem 1 --cma per_int ;;
     floor_cma2)   run_step floor_cma2 3600 result/control/floor_cma2.json \
