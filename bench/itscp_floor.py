@@ -114,6 +114,10 @@ def main():
         out[f"cma_{args.cma}_eval_queue"] = float(hist.min())
         out[f"cma_{args.cma}_evals"] = int(hist.size)
         out[f"cma_{args.cma}_dim"] = dim
+        # the argmin action itself: lets training warm-start from the
+        # CMA solution (fit the controller head to reproduce it)
+        out[f"cma_{args.cma}_best_x"] = np.asarray(best_x, np.float64
+                                                   ).round(6).tolist()
     print(json.dumps(out))
 
 

@@ -21,6 +21,36 @@ from dhts.apps.control.itscp.problem import PROBLEMS
 from dhts.apps.control.trainer import Trainer
 
 
+def _warm_start_params(params, json_path, env):
+    """Overwrite the controller HEAD so squash(model(obs)) reproduces a
+    CMA-ES per-intersection floor action (``bench/itscp_floor.py --cma
+    per_int`` JSON): head kernel zeroed, head bias = the action logits.
+    Hidden layers keep their random init; the head kernel's gradient is
+    nonzero from step one, so fine-tuning proceeds normally."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    with open(json_path) as f:
+        ws = _json.load(f)
+    x = np.asarray(ws["cma_per_int_best_x"], np.float64)
+    lo, hi = env.action_bounds()
+    n_phases = env.action_size() // x.size
+    tgt = np.tile(x, n_phases)
+    pr = np.clip((tgt - lo) / (hi - lo), 1e-4, 1.0 - 1e-4)
+    raw = np.log(pr / (1.0 - pr))  # inverse of squash_action's sigmoid
+
+    pd = {k: dict(v) for k, v in params["params"].items()}
+    head = max((k for k in pd if k.startswith("Dense")),
+               key=lambda k: int(k.split("_")[1]))
+    assert pd[head]["bias"].shape == raw.shape, \
+        (pd[head]["bias"].shape, raw.shape)
+    pd[head] = {"kernel": jnp.zeros_like(pd[head]["kernel"]),
+                "bias": jnp.asarray(raw, jnp.float32)}
+    return {"params": pd}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("Intersection signal control (ITSCP)")
     p.add_argument("--mode", choices=["macro", "micro", "hybrid"],
@@ -60,6 +90,14 @@ def main(argv=None):
                         "(training only; hard eval unchanged). >1 narrows "
                         "the soft/hard surrogate gap that 5x5 training "
                         "exploits after ~40 epochs")
+    p.add_argument("--warm_start", type=str, default=None, metavar="JSON",
+                   help="warm-start the controller from a CMA-ES floor "
+                        "solution (bench/itscp_floor.py --cma per_int "
+                        "output containing cma_per_int_best_x): the head "
+                        "kernel is zeroed and its bias set to the logits "
+                        "reproducing the CMA action, so gradient training "
+                        "fine-tunes from the best known static plan "
+                        "instead of a random policy")
     p.add_argument("--anneal_gates", type=str, default=None,
                    metavar="S:E,S:E,...",
                    help="staged gate-scale annealing: comma-separated "
@@ -159,6 +197,9 @@ def main(argv=None):
                                   grad_clip=args.grad_clip)
                 if params is not None:
                     trainer.params = params  # warm restart: params only
+                elif args.warm_start:
+                    trainer.params = _warm_start_params(
+                        trainer.params, args.warm_start, env)
                 # the last stage gets the trailing +1 epoch so the final
                 # eval point lands (reference n_episode+1 convention)
                 n = n_ep + (1 if si == len(stages) - 1 else 0)

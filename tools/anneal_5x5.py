@@ -28,14 +28,18 @@ def main():
     p.add_argument("--n", type=int, default=5)
     p.add_argument("--log_root", type=str,
                    default="result/control/itscp_5x5_anneal")
+    p.add_argument("--warm_start", type=str, default=None,
+                   help="CMA floor JSON with cma_per_int_best_x")
     args = p.parse_args()
 
     from dhts.apps.control.itscp.run import main as run_main
 
     root = f"{args.log_root}_p{args.problem}"
     t0 = time.time()
+    extra = (["--warm_start", args.warm_start] if args.warm_start else [])
     with contextlib.redirect_stdout(sys.stderr):
-        run_main(["--mode", "hybrid", "--problem", str(args.problem),
+        run_main(extra +
+                 ["--mode", "hybrid", "--problem", str(args.problem),
                   "--n_trial", "1", "--n_intersection", str(args.n),
                   "--n_lane", "1", "--lane_length", "5",
                   "--speed_limit", "60", "--simulation_length", "20",
