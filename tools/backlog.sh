@@ -80,6 +80,16 @@ for s in $STEPS; do
                     python bench/probe_banded.py ;;
     anneal1)      run_step anneal1 3600 result/control/anneal1.json \
                     python tools/anneal_5x5.py 1 ;;
+    floor_cma3b)  run_step floor_cma3b 3600 result/control/floor_cma3b.json \
+                    python bench/itscp_floor.py --problem 3 --cma per_int ;;
+    anneal3w)     run_step anneal3w 3600 result/control/anneal3w.json \
+                    python tools/anneal_5x5.py 3 \
+                      --warm_start result/control/floor_cma3b.json \
+                      --log_root result/control/itscp_5x5_warm ;;
+    anneal2w)     run_step anneal2w 3600 result/control/anneal2w.json \
+                    python tools/anneal_5x5.py 2 \
+                      --warm_start result/control/floor_cma2.json \
+                      --log_root result/control/itscp_5x5_warm ;;
     anneal2)      run_step anneal2 3600 result/control/anneal2.json \
                     python tools/anneal_5x5.py 2 ;;
     anneal3)      run_step anneal3 3600 result/control/anneal3.json \
