@@ -85,10 +85,19 @@ for s in $STEPS; do
     anneal3w)     run_step anneal3w 3600 result/control/anneal3w.json \
                     python tools/anneal_5x5.py 3 \
                       --warm_start result/control/floor_cma3b.json \
+                      --stages 4:150,8:150 \
+                      --log_root result/control/itscp_5x5_warm ;;
+    floor_cma1b)  run_step floor_cma1b 3600 result/control/floor_cma1b.json \
+                    python bench/itscp_floor.py --problem 1 --cma per_int ;;
+    anneal1w)     run_step anneal1w 3600 result/control/anneal1w.json \
+                    python tools/anneal_5x5.py 1 \
+                      --warm_start result/control/floor_cma1b.json \
+                      --stages 4:150,8:150 \
                       --log_root result/control/itscp_5x5_warm ;;
     anneal2w)     run_step anneal2w 3600 result/control/anneal2w.json \
                     python tools/anneal_5x5.py 2 \
                       --warm_start result/control/floor_cma2.json \
+                      --stages 4:150,8:150 \
                       --log_root result/control/itscp_5x5_warm ;;
     anneal2)      run_step anneal2 3600 result/control/anneal2.json \
                     python tools/anneal_5x5.py 2 ;;
