@@ -107,6 +107,8 @@ for s in $STEPS; do
                     python bench/ablate_kernel.py --grid 7 --reps 6 --fwd_only ;;
     spatial7)     run_step spatial7 3600 result/merge/spatial7.json \
                     python bench/spatial_fused_cost.py --grid 7 ;;
+    pressure)     run_step pressure 2400 result/merge/pressure.json \
+                    python bench/probe_pressure.py ;;
     spatial9)     run_step spatial9 3600 result/merge/spatial9.json \
                     python bench/spatial_fused_cost.py --grid 9 ;;
     floor_cma1)   run_step floor_cma1 3600 result/control/floor_cma1.json \
