@@ -174,7 +174,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     win = chunk_c + 2 * _pad
     n_chunks = Lp // chunk_c
     banded = (Lp >= 512 and band > 0 and _pad <= 2 * _LANE and
-              win < Lp and not _ablate)
+              win < Lp and not ({"ohb", "walk", "ohg", "ohmh", "ohpk",
+                                 "oh4"} & set(_ablate)))
     # wide_ops + banded: the walk's hop gathers carry two extra rows
     # (leader tail pos/vel) latched at the terminating hop, so the
     # forward skips the dense [Lp, Lp] leader-field gather at wstar —
@@ -364,12 +365,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # in-kernel iota//Lp is an avoidable Mosaic lowering risk)
         consts["blkw"] = np.repeat(np.arange(W, dtype=np.int32),
                                    Lp)[None]
-    if _ablate:
+    if {"ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"} & set(_ablate):
         # Profiling rig only: a resident [Lp, 4Lp] block-identity used to
         # stub one-hot BUILDS named in ``_ablate`` (keeps every matmul's
         # shape and VMEM read traffic, removes the iota-compare
         # construction). Results are numerically WRONG — the rig exists
         # purely to attribute per-family build cost on hardware.
+        # NB [Lp, max(4,W,K)*Lp] f32 fits VMEM at 3x3 ONLY (96-245 MB at
+        # 7x7/9x9) — one-hot family ablation is a 3x3 instrument; the
+        # physics stubs (riemann/idm) don't allocate it and keep the
+        # production banded path, so they attribute at every scale.
         consts["dummy_oh"] = np.tile(np.eye(Lp, dtype=np.float32),
                                      (1, max(4, W, K)))
     const_names = sorted(consts.keys())
