@@ -49,13 +49,23 @@ EOF
 run_step() {  # run_step NAME TIMEOUT_S OUT_JSON CMD...
   local name=$1 tmo=$2 out=$3; shift 3
   if done_ok "$out"; then log "$name: already done, skipping"; return 0; fi
-  wait_tunnel
-  log "$name: start ($*)"
-  if timeout "$tmo" "$@" > "$out.tmp" 2> "${out%.json}.err"; then
-    mv "$out.tmp" "$out"
-    log "$name: ok: $(tail -c 300 "$out")"
-  else
-    local rc=$?
+  local attempt rc=1
+  for attempt in 1 2; do
+    wait_tunnel
+    log "$name: start attempt $attempt ($*)"
+    if timeout "$tmo" "$@" > "$out.tmp" 2> "${out%.json}.err"; then
+      mv "$out.tmp" "$out"
+      log "$name: ok: $(tail -c 300 "$out")"
+      rc=0; break
+    fi
+    rc=$?
+    # rc=124: step timeout — the remote compile occasionally wedges
+    # forever with the tunnel up (CLAUDE.md gotcha); a fresh process
+    # usually clears it, so retry once
+    [ "$rc" -ne 124 ] && break
+    log "$name: attempt $attempt timed out (suspected compile wedge), retrying"
+  done
+  if [ "$rc" -ne 0 ]; then
     printf '{"error": "%s failed rc=%d", "ts": "%s"}\n' \
       "$name" "$rc" "$(date -u +%FT%TZ)" > "$out.tmp" && mv "$out.tmp" "$out"
     log "$name: FAILED rc=$rc (stderr tail): $(tail -c 300 "${out%.json}.err")"
