@@ -98,7 +98,13 @@ for s in $STEPS; do
                       --stages 4:150,8:150 \
                       --log_root result/control/itscp_5x5_warm ;;
     floor_cma1b)  run_step floor_cma1b 3600 result/control/floor_cma1b.json \
-                    python bench/itscp_floor.py --problem 1 --cma per_int ;;
+                    python bench/itscp_floor.py --problem 1 --cma per_int \
+                      --cma_evals 2600 ;;
+    anneal1w2)    run_step anneal1w2 3600 result/control/anneal1w2.json \
+                    python tools/anneal_5x5.py 1 \
+                      --warm_start result/control/floor_cma1b.json \
+                      --stages 2:120,4:120,8:120 \
+                      --log_root result/control/itscp_5x5_warmsoft ;;
     anneal1w)     run_step anneal1w 3600 result/control/anneal1w.json \
                     python tools/anneal_5x5.py 1 \
                       --warm_start result/control/floor_cma1b.json \
