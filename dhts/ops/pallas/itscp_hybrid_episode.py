@@ -103,7 +103,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
 
     L = int(spec.num_lanes)
     C = int(spec.max_cells)
-    Lp = _round_up(L, _LANE)
+    # DHTS_LP_ALIGN: round the padded lane count up to a coarser multiple
+    # than 128 so the banded chunk width (which must divide Lp and stay
+    # 128-aligned for Mosaic lane slices) has more choices. 9x9 is the
+    # motivating case: L=1296 -> Lp=1408=11x128 admits only chunk 128;
+    # align 512 gives Lp=1536=12x128 and unlocks chunks 256/384/512 for
+    # ~9% extra elementwise rows. Padding lanes are inert (masked
+    # geometry, -1 index rows), so any multiple of 128 is value-safe.
+    import os as _os
+    _lp_align = int(_os.environ.get("DHTS_LP_ALIGN", "0"))
+    Lp = _round_up(L, max(_LANE, _lp_align))
     Cp = _round_up(C, _SUBLANE)
     Vp = _round_up(V, _SUBLANE)
     T = int(config["policy_length"] * config["duration"] *
