@@ -57,8 +57,20 @@ def main():
             differentiable=True, window=env._fused_win_needed,
             wide_ops=True)
         assert kern.banded, "grid too small: the banded path never engaged"
+        # a width that doesn't divide Lp silently falls back to 128 inside
+        # the kernel — a sweep must not label that as the requested width
+        eff = kern.geometry.get("banded_chunk", chunk)
+        if eff != chunk:
+            raise ValueError(
+                f"chunk {chunk} does not divide Lp: kernel fell back to "
+                f"{eff}; not a real measurement")
         n_act = env.action_size() // kern.geometry["n_phases"]
-        a2 = jnp.full((kern.geometry["n_phases"], n_act), 0.5)
+        # distinct action buffers per rep + host-fetch completion: through
+        # the axon tunnel block_until_ready does not round-trip and
+        # identical buffers are served without re-execution (round-4
+        # measurement protocol, CLAUDE.md device lessons)
+        acts = [jnp.full((kern.geometry["n_phases"], n_act),
+                         0.5 + 1e-4 * i) for i in range(8)]
 
         def loss(a):
             r, _ = kern(a, d.schedule, d.mroute_next, d.mroute_prev, rand,
@@ -67,14 +79,14 @@ def main():
             return r
 
         vg = jax.jit(jax.value_and_grad(loss))
-        r, g = vg(a2)
-        jax.block_until_ready((r, g))
+        r, g = vg(acts[0])
+        r = np.asarray(r)
         t0 = time.perf_counter()
-        for _ in range(8):
-            r, g = vg(a2)
-        jax.block_until_ready((r, g))
+        for a in acts:
+            r2, g = vg(a)
+            np.asarray(r2)
         dt = (time.perf_counter() - t0) / 8
-        return np.asarray(r), np.asarray(g), dt
+        return r, np.asarray(g), dt
 
     out = {"grid": grid, "T": T, "chunks": {}}
     r_base = g_base = None

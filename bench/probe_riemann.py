@@ -27,7 +27,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=3000)
+    # both slope points stay under the ~10k fori_loop trip count that
+    # intermittently wedges the remote compile (device lessons): 1500
+    # and 1500*6=9000
+    ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--lps", type=int, nargs="*", default=[256, 1024, 1408])
     args = ap.parse_args()
 

@@ -63,6 +63,7 @@ def main():
         env = ItscpEnv(config=cfg, schedule_fn=problem_1)
         env.reset()
         is_macro = np.asarray(env.spec.is_macro).astype(bool)
+        R = int(env.base_state.micro.route.shape[2])
         trips, nveh, nocc = [], [], []
         for _ in range(20):
             env.step(np.full((grid * grid,), 0.5, np.float32))
@@ -98,8 +99,10 @@ def main():
             "max_trips_per_round": trips,
             "vehicles_per_round": nveh,
             "occupied_micro_lanes_per_round": nocc,
-            "mean_max_trip": round(float(np.mean(trips)), 1),
-            "mean_occupied": round(float(np.mean(nocc)), 1),
+            "mean_max_trip": (round(float(np.mean(trips)), 1)
+                              if trips else None),
+            "mean_occupied": (round(float(np.mean(nocc)), 1)
+                              if nocc else None),
         }), flush=True)
 
 

@@ -112,6 +112,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # geometry, -1 index rows), so any multiple of 128 is value-safe.
     import os as _os
     _lp_align = int(_os.environ.get("DHTS_LP_ALIGN", "0"))
+    if _lp_align:
+        # a non-128-multiple alignment would make n_chunks = Lp // chunk_c
+        # floor and leave tail columns holding REAL lanes uncovered by the
+        # banded chunk starts — round it up to a lane multiple instead
+        _lp_align = _round_up(_lp_align, _LANE)
     Lp = _round_up(L, max(_LANE, _lp_align))
     Cp = _round_up(C, _SUBLANE)
     Vp = _round_up(V, _SUBLANE)
@@ -246,6 +251,24 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 break
             peel_geoms.append(_g)
     hop1_banded = len(peel_geoms) >= 1
+    # Occupancy-compacted walk (round 5): on ITSCP scenes only a handful
+    # of micro lanes hold a head vehicle per step (measured 7-11 at
+    # 7x7/9x9, result/merge/walk_trips.json) while the dense early-exit
+    # while_loop runs 20-32 full-[1,Lp]-width iterations (the max trip
+    # over lanes). The compact phase ranks the still-walking lanes with a
+    # lower-triangular prefix dot, packs them into <= S_cw slot columns
+    # via a slot one-hot, runs ALL remaining hops as ONE [*, nW*S_cw]
+    # wide gather + a latch fold over [1, S_cw] rows, and scatters the
+    # terminating state back. Lanes past slot capacity (never seen on
+    # ITSCP scenes; capacity 128 vs ~11 walkers) fall through to the
+    # dense while_loop unchanged, so the loop runs ZERO iterations in the
+    # common case. Values are bit-identical: same one-hot columns, same
+    # HIGHEST contractions, same latch fold order per lane (reference
+    # semantics: road/network/road_network.py:429-580).
+    compact_walk = (wide_ops and W >= 8 and
+                    _os.environ.get("DHTS_COMPACT_WALK", "1") == "1")
+    S_cw = _round_up(int(_os.environ.get("DHTS_COMPACT_SLOTS", "128")),
+                     _LANE)
 
     # ---- static constants -------------------------------------------------
     def row(x, dtype=np.float32, fill=0.0):
@@ -374,6 +397,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # in-kernel iota//Lp is an avoidable Mosaic lowering risk)
         consts["blkw"] = np.repeat(np.arange(W, dtype=np.int32),
                                    Lp)[None]
+    if compact_walk:
+        # strictly-lower-triangular ones: dot(needs [1,Lp], lt_strict)[l]
+        # = #still-walking lanes left of l = the lane's slot rank (exact
+        # small-int counts under HIGHEST). 0.25-7.9 MB resident f32 at
+        # 3x3-9x9 — forward kernels only, well under the scoped budget.
+        consts["lt_strict"] = (np.arange(Lp, dtype=np.int32)[:, None] <
+                               np.arange(Lp, dtype=np.int32)[None]
+                               ).astype(np.float32)
     if {"ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"} & set(_ablate):
         # Profiling rig only: a resident [Lp, 4Lp] block-identity used to
         # stub one-hot BUILDS named in ``_ablate`` (keeps every matmul's
@@ -951,6 +982,97 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 st0 = ((jnp.zeros((), jnp.int32),
                         walk0[0].astype(jnp.int32),
                         walk0[1].astype(jnp.int32)) + walk0[2:])
+            o0s = len(wl_all) if banded else 0
+            if compact_walk and W > o0s:
+                # ---- occupancy-compacted walk: pack the (few) lanes
+                # whose walk is still live after the peeled hops into
+                # <= S_cw slot columns, run hops o0s..W-1 as ONE wide
+                # gather + an [1, S_cw] latch fold, scatter back; the
+                # dense while_loop below then only handles slot-capacity
+                # overflow (never on ITSCP scenes) and exits immediately.
+                nWc = W - o0s
+                needs = st0[1] < 1                      # still walking
+                rank_i = jax.lax.stop_gradient(jnp.dot(
+                    needs.astype(jnp.float32), cn["lt_strict"],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+                cap_b = needs & (rank_i < S_cw)
+                # slot one-hot [S_cw, Lp]: row s marks the lane ranked s
+                sohT = ((jax.lax.broadcasted_iota(
+                    jnp.int32, (S_cw, Lp), 0) == rank_i) &
+                    cap_b).astype(jnp.float32)
+
+                def cw_pack(x):
+                    """[N, Lp] -> [N, S_cw] slot compaction (exact: one
+                    1.0 per slot column under HIGHEST)."""
+                    return jax.lax.stop_gradient(jax.lax.dot_general(
+                        x, sohT, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+
+                route_cf = cw_pack(route_h)             # [R, S_cw]
+                ridx_ci = cw_pack(ridx_h.astype(jnp.float32)
+                                  ).astype(jnp.int32)
+                curd_c = cw_pack(st0[5])
+                # hop targets o0s..W-1 in one compact route pick
+                j_cat = jnp.concatenate(
+                    [ridx_ci + 1 + o for o in range(o0s, W)], axis=1)
+                okj = (j_cat >= 0) & (j_cat < R)
+                ohr = ((jax.lax.broadcasted_iota(
+                    jnp.int32, (R, nWc * S_cw), 0) == j_cat) &
+                    okj).astype(jnp.float32)
+                entc = jnp.sum(jnp.concatenate([route_cf] * nWc, axis=1) *
+                               ohr, axis=0, keepdims=True)
+                wl_cc = jnp.where(okj, entc.astype(jnp.int32), -1)
+                rows_w = [cn["is_macro"], count_row, cn["length"]]
+                if lead_latch:
+                    rows_w += [pos[:1], vel[:1]]
+                ohw = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Lp, nWc * S_cw), 0) == wl_cc).astype(
+                    jnp.float32)
+                GWc = jax.lax.stop_gradient(jnp.dot(
+                    jnp.concatenate(rows_w, axis=0), ohw,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+                zS = jnp.zeros((1, S_cw))
+                # compacted lanes are exactly the not-done ones: done and
+                # found start False, wstar -1, gap 0, cur_delta carried
+                wstc = (jnp.zeros((1, S_cw), jnp.bool_),
+                        jnp.zeros((1, S_cw), jnp.bool_),
+                        jnp.full((1, S_cw), -1, jnp.int32), zS, curd_c)
+                if lead_latch:
+                    wstc = wstc + (zS, zS)
+                for o in range(nWc):
+                    wstc = walk_latch(wl_cc[:, o * S_cw:(o + 1) * S_cw],
+                                      GWc[:, o * S_cw:(o + 1) * S_cw],
+                                      *wstc)
+                # scatter back. wstar gets its OWN dot so it lands at
+                # sublane offset 0: it feeds downstream oh_multi lane
+                # concats, which real Mosaic rejects for offset rows
+                # (Pallas lessons); the arithmetic-only rows share one.
+                def cw_scat(rows):
+                    return jax.lax.stop_gradient(jnp.dot(
+                        jnp.concatenate(rows, axis=0) if len(rows) > 1
+                        else rows[0], sohT,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+
+                s_wstar = cw_scat([wstc[2].astype(jnp.float32)])
+                arith = [wstc[1].astype(jnp.float32), wstc[3], wstc[4]]
+                if lead_latch:
+                    arith += [wstc[5], wstc[6]]
+                s_ar = cw_scat(arith)
+                st0 = ((st0[0],
+                        jnp.where(cap_b, 1, st0[1]),
+                        jnp.where(cap_b, (s_ar[0:1] > 0.5).astype(
+                            jnp.int32), st0[2]),
+                        jnp.where(cap_b, s_wstar.astype(jnp.int32),
+                                  st0[3]),
+                        jnp.where(cap_b, s_ar[1:2], st0[4]),
+                        jnp.where(cap_b, s_ar[2:3], st0[5])) +
+                       ((jnp.where(cap_b, s_ar[3:4], st0[6]),
+                         jnp.where(cap_b, s_ar[4:5], st0[7]))
+                        if lead_latch else ()))
             st = jax.lax.while_loop(w_cond, w_body, st0)
             done, found = st[1] > 0, st[2] > 0
             wstar, cdel_st, cur_delta = st[3:6]
@@ -2154,6 +2276,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                        n_phases=n_phases, n_inter=n_inter,
                        episodes=B_ep if packed else 1,
                        band=band, banded_win=win if banded else 0,
+                       banded_chunk=chunk_c if banded else 0,
                        lead_latch=lead_latch, hop1_banded=hop1_banded,
-                       n_hop_peel=len(peel_geoms))
+                       n_hop_peel=len(peel_geoms),
+                       compact_walk=compact_walk,
+                       compact_slots=S_cw if compact_walk else 0)
     return fn

@@ -46,30 +46,55 @@ except Exception:
 EOF
 }
 
+CUR_STEP="" CUR_OUT="" CUR_PID=""
+kill_record() {  # fired on INT/TERM/HUP: an external kill (driver
+  # snapshot, session end) must still leave an {"error":...} record
+  # instead of a stranded .tmp (round-4 verdict: anneal1w2). SIGKILL is
+  # untrappable; rc=137 child OOM-kills take the normal failed-rc path.
+  if [ -n "$CUR_STEP" ]; then
+    printf '{"error": "%s killed externally", "ts": "%s"}\n' \
+      "$CUR_STEP" "$(date -u +%FT%TZ)" > "$CUR_OUT"
+    rm -f "$CUR_OUT.tmp"
+    [ -n "$CUR_PID" ] && kill "$CUR_PID" 2>/dev/null
+    git add "$CUR_OUT" 2>/dev/null
+    git commit -q -m "backlog: $CUR_STEP killed externally" 2>/dev/null
+  fi
+  exit 143
+}
+trap kill_record INT TERM HUP
+
 run_step() {  # run_step NAME TIMEOUT_S OUT_JSON CMD...
   local name=$1 tmo=$2 out=$3; shift 3
   if done_ok "$out"; then log "$name: already done, skipping"; return 0; fi
+  CUR_STEP=$name; CUR_OUT=$out
   local attempt rc=1
   for attempt in 1 2; do
     wait_tunnel
     log "$name: start attempt $attempt ($*)"
-    if timeout "$tmo" "$@" > "$out.tmp" 2> "${out%.json}.err"; then
+    # background + wait so INT/TERM/HUP interrupt the wait and the trap
+    # fires immediately (bash defers traps while a foreground child runs)
+    timeout "$tmo" "$@" > "$out.tmp" 2> "${out%.json}.err" &
+    CUR_PID=$!
+    wait "$CUR_PID"; rc=$?
+    CUR_PID=""
+    if [ "$rc" -eq 0 ]; then
       mv "$out.tmp" "$out"
       log "$name: ok: $(tail -c 300 "$out")"
-      rc=0; break
+      break
     fi
-    rc=$?
     # rc=124: step timeout — the remote compile occasionally wedges
     # forever with the tunnel up (CLAUDE.md gotcha); a fresh process
     # usually clears it, so retry once
     [ "$rc" -ne 124 ] && break
     log "$name: attempt $attempt timed out (suspected compile wedge), retrying"
   done
+  CUR_STEP=""; CUR_OUT=""
   if [ "$rc" -ne 0 ]; then
     printf '{"error": "%s failed rc=%d", "ts": "%s"}\n' \
       "$name" "$rc" "$(date -u +%FT%TZ)" > "$out.tmp" && mv "$out.tmp" "$out"
     log "$name: FAILED rc=$rc (stderr tail): $(tail -c 300 "${out%.json}.err")"
   fi
+  rm -f "$out.tmp"
   git add "$out" "${out%.json}.err" "$LOG" 2>/dev/null
   git commit -q -m "backlog: $name artifact" 2>/dev/null || true
 }
