@@ -98,6 +98,18 @@ def main(argv=None):
                         "reproducing the CMA action, so gradient training "
                         "fine-tunes from the best known static plan "
                         "instead of a random policy")
+    p.add_argument("--eval_every", type=int, default=0, metavar="N",
+                   help="hard-eval every N epochs (0 = the legacy "
+                        "n_episode//10 cadence). Fine-tune runs want 1: "
+                        "the hard metric is PIECEWISE CONSTANT in the "
+                        "action (signal-progress grid 1/nsf), so best-"
+                        "checkpointing must sample densely to harvest "
+                        "the occasional grid-cell crossing that helps")
+    p.add_argument("--carry", choices=["last", "best"], default="last",
+                   help="what parameters cross --anneal_gates stage "
+                        "boundaries: the stage's final params (legacy) "
+                        "or its best-eval checkpoint (fine-tunes drift "
+                        "off a warm start; 'best' re-anchors each stage)")
     p.add_argument("--anneal_gates", type=str, default=None,
                    metavar="S:E,S:E,...",
                    help="staged gate-scale annealing: comma-separated "
@@ -203,11 +215,21 @@ def main(argv=None):
                 # the last stage gets the trailing +1 epoch so the final
                 # eval point lands (reference n_episode+1 convention)
                 n = n_ep + (1 if si == len(stages) - 1 else 0)
+                cadence = (args.eval_every if args.eval_every > 0 else
+                           max(1, sum(e for _, e in stages) // 10))
                 trainer.train(max(1, args.ep_per_epoch), n,
-                              max(1, sum(e for _, e in stages) // 10),
+                              cadence,
                               max(1, args.n_eval_episode), log_path,
                               initial_best=best, epoch_offset=offset)
                 params, best = trainer.params, trainer.best_eval_reward
+                best_ckpt = os.path.join(log_path, "best", "model.msgpack")
+                if args.carry == "best" and os.path.exists(best_ckpt):
+                    from flax import serialization
+                    with open(best_ckpt, "rb") as f:
+                        blob = f.read()
+                    params = serialization.from_bytes(
+                        {"params": trainer.params,
+                         "opt_state": trainer.opt_state}, blob)["params"]
                 offset += n
         return
 
@@ -237,7 +259,8 @@ def main(argv=None):
         ep_per_epoch = (mesh.shape["data"] if mesh is not None
                         else max(1, args.ep_per_epoch))
         trainer.train(ep_per_epoch, args.n_episode + 1,
-                      max(1, args.n_episode // 10),
+                      (args.eval_every if args.eval_every > 0 else
+                       max(1, args.n_episode // 10)),
                       max(1, args.n_eval_episode), log_path)
 
 

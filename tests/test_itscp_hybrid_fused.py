@@ -636,3 +636,64 @@ def test_banded_5x5_matches_scan():
     # ~5e-20 abs / 3e-7 rel on CPU). Tight allclose, not bitwise.
     np.testing.assert_allclose(g_w, g_f, rtol=5e-6,
                                atol=1e-12 * max(np.abs(g_f).max(), 1e-30))
+
+
+@pytest.mark.parametrize("grid", [
+    3,
+    pytest.param(5, marks=pytest.mark.slow),
+])
+def test_compact_walk_bit_identical(grid, monkeypatch):
+    """Occupancy-compacted walk (round 5): the still-walking lanes are
+    packed into <= 128 slot columns and all remaining hops run as one
+    wide gather + an [1, 128] latch fold, leaving the dense while_loop
+    zero iterations (the 7x7/9x9 scale floor,
+    result/merge/walk_trips.json). Compact ON vs OFF must be exactly
+    equal — rewards, queue curves, events, and action gradients (the
+    walk is stop-gradient and the backward replays saved residuals, so
+    even the vjp graph is untouched). Covers the non-banded early-exit
+    path (3x3) and the banded + lead_latch + peel path (5x5)."""
+    cfg = dict(num_intersection=grid, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0,
+               policy_length=16 if grid == 3 else 18,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    action = jnp.full(env.action_size(), 0.55)
+
+    outs, grads = {}, {}
+    for compact in (False, True):
+        monkeypatch.setenv("DHTS_COMPACT_WALK", "1" if compact else "0")
+        # a larger-than-needed window is always value-safe; >= 8 forces
+        # the early-exit walk (the only path the compact phase rides)
+        fused = make_fused_itscp_episode(
+            env.spec, env.meta, env.config, V, R, P, P2,
+            differentiable=True, window=max(8, env._fused_win_needed),
+            interpret=True, wide_ops=True)
+        assert fused.geometry["compact_walk"] == compact
+        n_phases = fused.geometry["n_phases"]
+
+        def frun(a, fused=fused, n_phases=n_phases):
+            return fused(a.reshape(n_phases, -1), env.data.schedule,
+                         env.data.mroute_next, env.data.mroute_prev, rand,
+                         env.data.inj_routes, env.base_state.route_pool,
+                         with_events=True)
+
+        outs[compact] = frun(action)
+        grads[compact] = np.asarray(jax.grad(
+            lambda a: frun(a)[0])(action))
+    r0, q0, ev0 = outs[False]
+    r1, q1, ev1 = outs[True]
+    assert int(np.asarray(ev0)[:, 1].sum()) >= 1, \
+        "scene has no live emissions: walk coverage is vacuous"
+    assert float(r1) == float(r0)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q0))
+    np.testing.assert_array_equal(np.asarray(ev1), np.asarray(ev0))
+    np.testing.assert_array_equal(grads[True], grads[False])
