@@ -211,6 +211,26 @@ def main():
         return (time.perf_counter() - t0) / reps
 
     if not args.smoke:
+        try:
+            # deep-pipelined fwd+bwd flagship (round-5 item 7): ~5 ms of
+            # fixed launch+tunnel cost per call dominates at 10 reps; 40
+            # in-flight calls amortize it toward the true device slope
+            # (the round-2 serving measurement: 5 calls 73k, 40 calls
+            # 170k). Distinct keys per call — identical device buffers
+            # are served without re-execution through the tunnel.
+            deep = 40
+            dkeys = [jax.block_until_ready(jax.random.PRNGKey(1000 + i))
+                     for i in range(deep)]
+            t0 = time.perf_counter()
+            for k in dkeys:
+                v, g = grad_fn(action, k)
+            jax.block_until_ready(g)
+            extras["pipelined40_steps_per_sec"] = round(
+                T * deep / (time.perf_counter() - t0), 1)
+        except Exception as e:
+            extras["pipelined40_error"] = \
+                f"{type(e).__name__}: {str(e)[:120]}"
+
         try:  # serving: forward-only episodes, single + batched aggregate
             fwd = jax.jit(lambda a, k: env.episode(a, True, k).reward)
             dt1 = timed(fwd, action, key)

@@ -64,13 +64,21 @@ def main():
 
         vg = jax.jit(jax.value_and_grad(loss))
         r, g = vg(a2)  # compile: the Mosaic lowering check
-        jax.block_until_ready((r, g))
+        r = np.asarray(r)
+        # round-4 tunnel protocol: identical device buffers are served
+        # WITHOUT re-execution through axon and block_until_ready does
+        # not round-trip, so the old same-buffer loop overstated
+        # throughput ~20% (the banded_check-vs-bench gap the round-4
+        # verdict flagged). Distinct buffers + host-fetch completion.
+        acts = [a2 + 1e-4 * i for i in range(8)]
+        for a in acts[:1]:
+            np.asarray(vg(a)[0])
         t0 = time.perf_counter()
-        for _ in range(8):
-            r, g = vg(a2)
-        jax.block_until_ready((r, g))
+        for a in acts:
+            r2, g = vg(a)
+            np.asarray(r2)
         dt = (time.perf_counter() - t0) / 8
-        return np.asarray(r), np.asarray(g), dt
+        return r, np.asarray(g), dt
 
     r0, g0, t0 = build(False)
     out = {"grid": grid, "T": T, "reward_narrow": float(r0),

@@ -397,14 +397,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # in-kernel iota//Lp is an avoidable Mosaic lowering risk)
         consts["blkw"] = np.repeat(np.arange(W, dtype=np.int32),
                                    Lp)[None]
-    if compact_walk:
-        # strictly-lower-triangular ones: dot(needs [1,Lp], lt_strict)[l]
-        # = #still-walking lanes left of l = the lane's slot rank (exact
-        # small-int counts under HIGHEST). 0.25-7.9 MB resident f32 at
-        # 3x3-9x9 — forward kernels only, well under the scoped budget.
-        consts["lt_strict"] = (np.arange(Lp, dtype=np.int32)[:, None] <
-                               np.arange(Lp, dtype=np.int32)[None]
-                               ).astype(np.float32)
     if {"ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"} & set(_ablate):
         # Profiling rig only: a resident [Lp, 4Lp] block-identity used to
         # stub one-hot BUILDS named in ``_ablate`` (keeps every matmul's
@@ -418,6 +410,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         consts["dummy_oh"] = np.tile(np.eye(Lp, dtype=np.float32),
                                      (1, max(4, W, K)))
     const_names = sorted(consts.keys())
+    # The backward (replay) kernel never walks, so the compact-walk
+    # prefix-rank triangle is omitted from its inputs: at 9x9 the replay
+    # already runs at ~116 of the 127 MB scoped-VMEM limit and the extra
+    # [Lp, Lp] f32 (7.9 MB) would tip it over.
+    bwd_const_names = tuple(k for k in const_names if k != "lt_strict")
 
     def ep_sum(row, cn):
         """[1, Lp] per-lane values -> per-episode sums ([1, Bp]) when
@@ -992,10 +989,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 # overflow (never on ITSCP scenes) and exits immediately.
                 nWc = W - o0s
                 needs = st0[1] < 1                      # still walking
-                rank_i = jax.lax.stop_gradient(jnp.dot(
-                    needs.astype(jnp.float32), cn["lt_strict"],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+                # exclusive prefix count of still-walking lanes = slot
+                # rank, via a Hillis-Steele lane scan (log2(Lp) rounds of
+                # pltpu.roll + masked add on exact int32 — no [Lp, Lp]
+                # triangle constant eating scoped VMEM)
+                needs_i = needs.astype(jnp.int32)
+                lane_io = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+                inc_s = needs_i
+                _k = 1
+                while _k < Lp:
+                    inc_s = inc_s + jnp.where(
+                        lane_io >= _k, pltpu.roll(inc_s, _k, 1), 0)
+                    _k *= 2
+                rank_i = inc_s - needs_i
                 cap_b = needs & (rank_i < S_cw)
                 # slot one-hot [S_cw, Lp]: row s marks the lane ranked s
                 sohT = ((jax.lax.broadcasted_iota(
@@ -1939,8 +1945,9 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             sig_ref, rest = rest[0], rest[1:]
         (inj_ref, pool_ref, g_qsum_ref, g_queues_ref), rest = \
             rest[:4], rest[4:]
-        cn = {k: ref[:] for k, ref in zip(const_names, rest[:n_const])}
-        rest = rest[n_const:]
+        cn = {k: ref[:] for k, ref in
+              zip(bwd_const_names, rest[:len(bwd_const_names)])}
+        rest = rest[len(bwd_const_names):]
         traj_refs = rest[:len(SLIM_IDX)]
         rest = rest[len(SLIM_IDX):]
         extra_refs = rest[:NEXTRA]
@@ -2028,7 +2035,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                       rev_spec((1, Lp))] + sig_specs +
                      [full_spec((P, R, Lp)), full_spec((P_emit, R, Lp)),
                       full_spec((1, QW)), rev_spec((1, QW))] +
-                     [full_spec(consts[k].shape) for k in const_names] +
+                     [full_spec(consts[k].shape) for k in bwd_const_names] +
                      [rev_spec(TRAJ[j][1]) for j in SLIM_IDX] +
                      [rev_spec(shp) for _, shp, _ in EXTRA],
             out_specs=full_spec((NPp, NIp)),
@@ -2038,7 +2045,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             compiler_params=seq_params,
             interpret=interpret,
         )(action_p, sched_p, mnext_p, mprev_p, rand_p, *sig_ops, inj_p,
-          pool_p, g_qsum, g_queues, *(consts[k] for k in const_names),
+          pool_p, g_qsum, g_queues, *(consts[k] for k in bwd_const_names),
           *resid)
 
     # ---- custom-VJP episode over padded arrays -----------------------------

@@ -1092,6 +1092,15 @@ def make_fused_spatial_episode(env, mesh: Mesh, differentiable: bool = True,
     # conversion-phase bodies + example args, for per-device cost
     # analysis (tests assert the FLOP count shrinks with the shard count)
     episode._conv_kernels = conv_kernels
+    # the WRAPPED per-shard Pallas ops + example args, for standalone
+    # Mosaic compiles (per-shard VMEM evidence at shard counts the
+    # single real chip cannot host as a mesh — bench/spatial_shard_vmem.py)
+    if n_shard > 1:
+        episode._shard_kernels = dict(
+            A=(kA, ex_A), B=(kB, ex_B), C=(kC, ex_C), D1=(kD1, ex_D1),
+            D2=(kD2, ex_D2), D3=(kD3, ex_D3), E=(kE, ex_E))
+    else:
+        episode._shard_kernels = dict(STEP=(kSTEP, ex_STEP))
     from types import SimpleNamespace
 
     # internals for the 2-D (data, lane) train-step composition
