@@ -58,17 +58,19 @@ def main():
                         env.base_state.route_pool[:, :, :R])
             return r
 
-        def timeit(fn, *a):
-            out = fn(*a)
-            jax.block_until_ready(out)
+        def timeit(fn):
+            # round-4 tunnel protocol: distinct buffers per rep +
+            # host-fetch completion (same-buffer reps are served without
+            # re-execution through axon)
+            acts = [a2 + 1e-4 * i for i in range(args.reps)]
+            np.asarray(jax.tree_util.tree_leaves(fn(acts[0]))[0])
             t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out = fn(*a)
-            jax.block_until_ready(out)
+            for a in acts:
+                np.asarray(jax.tree_util.tree_leaves(fn(a))[0])
             return (time.perf_counter() - t0) / args.reps
 
-        t_f = timeit(jax.jit(loss), a2)
-        t_fb = timeit(jax.jit(jax.value_and_grad(loss)), a2)
+        t_f = timeit(jax.jit(loss))
+        t_fb = timeit(jax.jit(jax.value_and_grad(loss)))
         print(json.dumps(dict(
             grid=n, T=T, wide=bool(args.wide),
             fwd_only_usec_per_step=round(t_f / T * 1e6, 2),
