@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--no-compile-smoke", action="store_true",
                     help="skip the 5x5 real-Mosaic compile smoke")
     ap.add_argument("--watchdog", type=int, default=int(__import__("os")
-                    .environ.get("DHTS_BENCH_WATCHDOG_S", 3600)),
+                    .environ.get("DHTS_BENCH_WATCHDOG_S", 5400)),
                     help="hard wall-clock bound in seconds (0 disables)")
     args = ap.parse_args()
 
@@ -270,17 +270,42 @@ def main():
             extras["serving_error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
         for n in (5, 7, 9):  # large-scene scaling (fwd+bwd, fused kernel)
+            # SLOPE method (canonical since round 5, verdict item 5): the
+            # per-rep host fetch the tunnel protocol requires costs a
+            # ~24-30 ms RTT, which at T=600 would bill 40+ us/step to the
+            # device — so the per-step cost is the slope between two
+            # horizons (T and 3T), where the fixed launch+RTT cost
+            # cancels exactly. Same method as bench/slope3x3.py
+            # (reproducible to ~0.1 us there).
             try:
-                envn = ItscpEnv(config=dict(cfg, num_intersection=n),
-                                schedule_fn=problem_1)
-                envn.reset()
-                onen = envn._fused_episode_one()
-                an = jnp.full((envn.action_size(),), 0.5)
-                gn = jax.jit(jax.grad(
-                    lambda a, k: -onen(a, envn.data, k).reward))
-                dtn = timed(gn, an, key, reps=3, key_arg=1)
+                dts = {}
+                for plen in (20, 60):
+                    envn = ItscpEnv(config=dict(cfg, num_intersection=n,
+                                                policy_length=plen),
+                                    schedule_fn=problem_1)
+                    envn.reset()
+                    onen = envn._fused_episode_one()
+                    an = jnp.full((envn.action_size(),), 0.5)
+                    gn = jax.jit(jax.grad(
+                        lambda a, k: -onen(a, envn.data, k).reward))
+                    times = []
+                    g0 = gn(an, key)
+                    _np.asarray(g0)
+                    for i in range(3):
+                        kk = jax.block_until_ready(
+                            jax.random.PRNGKey(9000 + i))
+                        t0 = time.perf_counter()
+                        _np.asarray(gn(an, kk))
+                        times.append(time.perf_counter() - t0)
+                    dts[envn.num_timestep] = min(times)
+                Ts = sorted(dts)
+                slope = (dts[Ts[1]] - dts[Ts[0]]) / (Ts[1] - Ts[0])
                 extras[f"scale_{n}x{n}_steps_per_sec"] = round(
-                    envn.num_timestep / dtn, 1)
+                    1.0 / slope, 1)
+                extras[f"scale_{n}x{n}_usec_per_step"] = round(
+                    slope * 1e6, 2)
+                extras[f"scale_{n}x{n}_launch_incl_steps_per_sec"] = \
+                    round(Ts[0] / dts[Ts[0]], 1)
             except Exception as e:
                 extras[f"scale_{n}x{n}_error"] = \
                     f"{type(e).__name__}: {str(e)[:120]}"

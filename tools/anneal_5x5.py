@@ -30,6 +30,12 @@ def main():
                    default="result/control/itscp_5x5_anneal")
     p.add_argument("--warm_start", type=str, default=None,
                    help="CMA floor JSON with cma_per_int_best_x")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="hard-eval cadence in epochs (0 = legacy //10)")
+    p.add_argument("--carry", choices=["last", "best"], default="last")
+    p.add_argument("--gate_mode", choices=["soft", "st"], default="soft")
+    p.add_argument("--seed", type=int, default=21)
+    p.add_argument("--ep_per_epoch", type=int, default=2)
     args = p.parse_args()
 
     from dhts.apps.control.itscp.run import main as run_main
@@ -37,6 +43,8 @@ def main():
     root = f"{args.log_root}_p{args.problem}"
     t0 = time.time()
     extra = (["--warm_start", args.warm_start] if args.warm_start else [])
+    if args.eval_every:
+        extra += ["--eval_every", str(args.eval_every)]
     with contextlib.redirect_stdout(sys.stderr):
         run_main(extra +
                  ["--mode", "hybrid", "--problem", str(args.problem),
@@ -46,8 +54,10 @@ def main():
                   "--signal_length", "4", "--lr", str(args.lr),
                   "--lr_schedule", "cosine",
                   "--grad_clip", str(args.grad_clip),
-                  "--ep_per_epoch", "2", "--n_eval_episode", "4",
-                  "--seed", "21", "--fused_episode",
+                  "--ep_per_epoch", str(args.ep_per_epoch),
+                  "--n_eval_episode", "4",
+                  "--seed", str(args.seed), "--fused_episode",
+                  "--carry", args.carry, "--gate_mode", args.gate_mode,
                   "--anneal_gates", args.stages,
                   "--log_root", root])
 
@@ -56,6 +66,8 @@ def main():
           open(os.path.join(runs[-1], "eval.txt")).read().split()]
     print(json.dumps({
         "problem": args.problem, "n": args.n, "stages": args.stages,
+        "lr": args.lr, "seed": args.seed, "carry": args.carry,
+        "gate_mode": args.gate_mode, "eval_every": args.eval_every,
         "evals": len(ev), "first": ev[0], "best": min(ev), "last": ev[-1],
         "reduction_best": round(ev[0] / min(ev), 3),
         "wall_s": round(time.time() - t0, 1), "dir": runs[-1]}))

@@ -158,6 +158,19 @@ for s in $STEPS; do
                     python bench/itscp_floor.py --problem 2 --cma per_int ;;
     floor_cma3)   run_step floor_cma3 3600 result/control/floor_cma3.json \
                     python bench/itscp_floor.py --problem 3 --cma per_int ;;
+    # ---- round-5 training campaign (verdict item 2) ----
+    ls1)          run_step ls1 4800 result/control/ls1.json \
+                    python bench/warm_linesearch.py --problem 1 \
+                      --floor result/control/floor_cma1b.json ;;
+    ls3)          run_step ls3 4800 result/control/ls3.json \
+                    python bench/warm_linesearch.py --problem 3 \
+                      --floor result/control/floor_cma3b.json ;;
+    compact579)   run_step compact579 5400 result/merge/compact579.json \
+                    python bench/compact_check.py 5 7 9 ;;
+    shardvmem)    run_step shardvmem 4800 result/merge/shard_vmem9.json \
+                    python bench/spatial_shard_vmem.py --grid 9 \
+                      --shards 4 8 --grad ;;
+    # ---- end round-5 additions ----
     wide_check)   run_step wide_check 2400 result/wide/wide_check.json \
                     python bench/wide_check.py ;;
     slope_narrow) run_step slope_narrow 2400 result/wide/slope_narrow.json \
