@@ -98,12 +98,27 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(json.dumps(dict(tag=tag, error=str(e)[:200])), flush=True)
 
-    fams = ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4", "riemann", "idm"]
+    if args.grid <= 3:
+        # dummy-oh build-cost stubs: 3x3-only (the resident block
+        # identity is 96-245 MB at 7x7/9x9)
+        fams = ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4", "riemann",
+                "idm"]
+        alloh = ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"]
+    else:
+        # round-5 scale-safe census stubs: each removes a FAMILY's ops
+        # outright (no dummy allocations), values wrong by design —
+        # cwalk = the occupancy-compacted walk block, heads = head
+        # one-hot + field/route-container picks, rpick = the batched
+        # route pick, inj = injection pool one-hot + route shift,
+        # conv = destination probes + arbitration + post-arb gathers,
+        # croute = the emission-pop / route-container insert
+        fams = ["cwalk", "heads", "rpick", "inj", "conv", "croute",
+                "riemann", "idm"]
+        alloh = ["cwalk", "heads", "rpick", "inj", "conv", "croute"]
     try_measure("none", [], grad=not args.fwd_only)
     for f in fams:
         try_measure(f"-{f}", [f], grad=not args.fwd_only)
-    try_measure("-all_oh", ["ohb", "walk", "ohg", "ohmh", "ohpk", "oh4"],
-                grad=not args.fwd_only)
+    try_measure("-all_oh", alloh, grad=not args.fwd_only)
     try_measure("-everything", fams, grad=not args.fwd_only)
 
 

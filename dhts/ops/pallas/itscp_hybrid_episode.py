@@ -647,7 +647,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pos = tail_insert(pos, jnp.zeros((Lp,)), im)
         vel = tail_insert(vel, jnp.zeros((Lp,)), im)
         av = tail_insert(av, jnp.full((Lp,), veh_len), im)
-        if head_saved is None:
+        if head_saved is None and "inj" not in _ablate:
             pool_idx = jnp.clip(P - inj_left, 0, P - 1)
             ohp = ((jax.lax.broadcasted_iota(jnp.int32, (P, 1, Lp), 0) ==
                     pool_idx[None]).astype(jnp.float32))
@@ -656,6 +656,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             route = jnp.where(im[None], jnp.concatenate(
                 [new_route[None], route[:-1]], axis=0), route)
             ridx = tail_insert(ridx, jnp.zeros((Lp,), jnp.int32), im)
+        # "inj" census stub: the [P, 1, Lp] pool one-hot + [P, R, Lp]
+        # pool reduce + [Vp, R, Lp] route shift removed (values WRONG)
         count = count + im.astype(jnp.int32)
         inj_left = inj_left - im.astype(jnp.int32)
 
@@ -726,11 +728,21 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 gb[4:5, Lp:2 * Lp], gb[5:6, 2 * Lp:3 * Lp])
 
         # ---- micro leader search (window form of find_micro_leader)
-        ohv_h = head_oh(count)
-        hv_pos = pick_v(pos, ohv_h)
-        hv_vel = pick_v(vel, ohv_h)
-        hv_a = pick_v(av, ohv_h)
-        if head_saved is None:
+        if "heads" in _ablate:
+            # census stub: head one-hot + the 3 field picks + the
+            # [Vp, R, Lp] route-container pick replaced by constants
+            # (values WRONG; attributes the head-pick family at scale)
+            ohv_h = jnp.zeros((Vp, Lp))
+            hv_pos = hv_vel = hv_a = jnp.zeros((1, Lp))
+        else:
+            ohv_h = head_oh(count)
+            hv_pos = pick_v(pos, ohv_h)
+            hv_vel = pick_v(vel, ohv_h)
+            hv_a = pick_v(av, ohv_h)
+        if "heads" in _ablate:
+            route_h = jnp.zeros((R, Lp))
+            ridx_h = jnp.zeros((1, Lp), jnp.int32)
+        elif head_saved is None:
             route_h = pick_route(route, ohv_h)  # [R, Lp]
             ridx_h = pick_v(ridx.astype(jnp.float32),
                             ohv_h).astype(jnp.int32)
@@ -846,6 +858,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             every lane in ONE [R, (2+n_extra)*Lp] compare + mul-sum —
             replacing 2+n_extra ``pick_r`` calls; each sliced block is
             bit-identical (same per-column sum over R)."""
+            if "rpick" in _ablate:  # census stub (values WRONG)
+                return jnp.full((1, (2 + n_extra) * Lp), -1, jnp.int32)
             j_cat = jnp.concatenate([ridx_h - 1, ridx_h] +
                                     [ridx_h + 1 + o for o in range(n_extra)],
                                     axis=1)
@@ -980,7 +994,14 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         walk0[0].astype(jnp.int32),
                         walk0[1].astype(jnp.int32)) + walk0[2:])
             o0s = len(wl_all) if banded else 0
-            if compact_walk and W > o0s:
+            if compact_walk and "cwalk" in _ablate:
+                # census stub (round 5): the whole compact-walk block
+                # removed and done forced, so the dense loop runs zero
+                # iterations — attributes the full walk-search family at
+                # scales where the dummy-oh rigs cannot allocate. Values
+                # are WRONG under this flag (census only).
+                st0 = (st0[0], jnp.ones_like(st0[1])) + st0[2:]
+            elif compact_walk and W > o0s:
                 # ---- occupancy-compacted walk: pack the (few) lanes
                 # whose walk is still live after the peeled hops into
                 # <= S_cw slot columns, run hops o0s..W-1 as ONE wide
@@ -1361,7 +1382,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         hv_a = pick_v(av, ohv_h)
         h_exists = count > 0
         hnext = next_l
-        if conv_saved is not None:
+        if conv_saved is None and "conv" in _ablate:
+            # census stub: destination probes + K-way arbitration removed
+            # (values WRONG; attributes the conversion-decision family)
+            false_r = jnp.zeros((1, Lp), jnp.bool_)
+            next_is_micro = exit_none = false_r
+            want_emit = want_tr = want_dep = false_r
+            best = jnp.full((1, Lp), Lp, jnp.int32)
+            dep_best = jnp.full((1, Lp), Lp, jnp.int32)
+        elif conv_saved is not None:
             # backward replay: the conversion section's discrete outcomes
             # (arbitration winners + event/win flags) were saved per step
             # by the forward, so the two stop-gradient probe gathers (gmh
@@ -1429,7 +1458,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         cap_val = jnp.sum(cap * slot_oh, axis=0, keepdims=True)
 
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-        if conv_saved is None:
+        if conv_saved is None and "conv" not in _ablate:
             dest_count = gm_rows[1]
             free_n = jnp.where(dest_count > 0.5,
                                gm_rows[2] - 0.5 * veh_len, gm_rows[3])
@@ -1516,7 +1545,15 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         # blocks 1-2 (mnext, hnext) are bit-identical to ``ohmh`` above, so
         # reuse it and build only the [sdep, src] half (lane-axis concat of
         # two sublane-offset-0 values — Mosaic-safe, unlike slice concats)
-        if conv_saved is not None:
+        if conv_saved is None and "conv" in _ablate:
+            # census stub: post-arbitration gathers removed (values WRONG)
+            Gsg = jnp.zeros((2, 2 * Lp))
+            Gdf_dep = jnp.zeros((5, Lp))
+            Gdf_src = jnp.zeros((5, Lp))
+            b_dep, b_src = slice(0, Lp), slice(Lp, 2 * Lp)
+            i_mac, i_len = 0, 1
+            emit_win = tr_win = dep_win = jnp.zeros((1, Lp), jnp.bool_)
+        elif conv_saved is not None:
             # reduced replay gather: the verdict blocks (mnext/hnext) are
             # replaced by the saved win flags and the discrete rows (ids,
             # ridx, the R route-id rows) are dead under head_saved, so
@@ -1608,7 +1645,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         pos = tail_insert(pos, new_pos_d[0], hm)
         vel = tail_insert(vel, new_vel_d[0], hm)
         av = tail_insert(av, new_a_d[0], hm)
-        if head_saved is None:
+        if head_saved is None and "croute" not in _ablate and \
+                "conv" not in _ablate:
             # route: emission pops dest pool; transfer carries src head
             # route (rows 4:5+ of the full Gall — only built when the
             # route containers are actually updated)
