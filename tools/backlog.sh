@@ -170,6 +170,10 @@ for s in $STEPS; do
     shardvmem)    run_step shardvmem 4800 result/merge/shard_vmem9.json \
                     python bench/spatial_shard_vmem.py --grid 9 \
                       --shards 4 8 --grad ;;
+    ablate9f)     run_step ablate9f 7200 result/merge/ablate9f.json \
+                    python bench/ablate_kernel.py --grid 9 --reps 6 --fwd_only ;;
+    ablate9g)     run_step ablate9g 9000 result/merge/ablate9g.json \
+                    python bench/ablate_kernel.py --grid 9 --reps 6 ;;
     # ---- end round-5 additions ----
     wide_check)   run_step wide_check 2400 result/wide/wide_check.json \
                     python bench/wide_check.py ;;
