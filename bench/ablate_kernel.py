@@ -114,6 +114,11 @@ def main():
         # croute = the emission-pop / route-container insert
         fams = ["cwalk", "heads", "rpick", "inj", "conv", "croute",
                 "riemann", "idm"]
+        if not args.fwd_only:
+            # replay-path stubs (only live inside the backward kernel's
+            # in-kernel vjp): the differentiable leader/sig gathers, the
+            # boundary gather, the post-arbitration gathers
+            fams += ["bgt", "bbnd", "bconv"]
         alloh = ["cwalk", "heads", "rpick", "inj", "conv", "croute"]
     try_measure("none", [], grad=not args.fwd_only)
     for f in fams:

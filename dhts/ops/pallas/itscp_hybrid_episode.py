@@ -1173,6 +1173,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                     st = walk_latch(wl_cat[:, o * Lp:(o + 1) * Lp],
                                     GW[:, o * Lp:(o + 1) * Lp], *st)
                 done, found, wstar, cdel_st, cur_delta = st
+        if boundary_out is None and walk_saved is not None and \
+                "bbnd" in _ablate:
+            # census stub (replay only): boundary gather + ghost math
+            # removed (values WRONG, kept finite for the Riemann solve)
+            zb = jnp.zeros((1, Lp))
+            boundary_out = (zb, zb, zb + 1.0, zb)
         if boundary_out is None:  # replay / early-exit / rig paths
             boundary_out = boundary_rows(boundary_gather())
         bl_r, bl_u, br_r, br_u = boundary_out
@@ -1181,7 +1187,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # latched during the walk when lead_latch (forward kernels),
             # else a dense 2-row dot; the 3 signal lookups are
             # route-adjacent -> banded
-            if lead_latch and walk_saved is None and early_exit:
+            if walk_saved is not None and "bgt" in _ablate:
+                # census stub (replay only): the differentiable leader
+                # gather removed — attributes its recompute + transpose
+                gt = jnp.zeros((2, Lp))
+            elif lead_latch and walk_saved is None and early_exit:
                 # only the early-exit walk latches the leader fields; the
                 # batched-walk wide path (step_hlo / step_cost tracing)
                 # falls through to the windowed gather below
@@ -1200,7 +1210,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                         [wstar_v], window_geom=geom_w)
                 else:
                     gt = gather_rows([pos[:1], vel[:1]], wstar_v)
-            if walk_saved is not None and wide_ops:
+            if walk_saved is not None and "bgt" in _ablate:
+                # census stub (replay only): the 3 sig gathers removed
+                sig_c = sig_p = sig_n = jnp.zeros((1, Lp))
+            elif walk_saved is not None and wide_ops:
                 # replay (in-kernel vjp): lane-slicing a DIFFERENTIABLE
                 # [1, 3Lp] gather transposes to a lane pad, and the wide
                 # path's stacked-row consumers hand that pad cotangents
@@ -1568,7 +1581,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             # diff tensor transposes to a lane pad whose mixed-offset
             # cotangents Mosaic cannot concatenate (the replay runs
             # inside the backward kernel's in-kernel vjp)
-            if banded:
+            if "bconv" in _ablate:
+                # census stub (replay only): post-arbitration gathers
+                # removed (values WRONG)
+                Gsg = jnp.zeros((2, 2 * Lp))
+                Gdf_dep = jnp.zeros((5, Lp))
+                Gdf_src = jnp.zeros((5, Lp))
+            elif banded:
                 Gsg = gather_multi(gsg_rows, [sdep, src], sg=True)
                 Gdf_dep = gather_multi(gdf_rows, [sdep])
                 Gdf_src = gather_multi(gdf_rows, [src])
