@@ -90,12 +90,16 @@ run_step() {  # run_step NAME TIMEOUT_S OUT_JSON CMD...
   done
   CUR_STEP=""; CUR_OUT=""
   if [ "$rc" -ne 0 ]; then
+    # progressive rigs (ablate/linesearch) print per-item JSON lines as
+    # they go — keep whatever landed before the failure as .partial so a
+    # timeout doesn't erase an hour of census data
+    [ -s "$out.tmp" ] && mv "$out.tmp" "${out%.json}.partial"
     printf '{"error": "%s failed rc=%d", "ts": "%s"}\n' \
       "$name" "$rc" "$(date -u +%FT%TZ)" > "$out.tmp" && mv "$out.tmp" "$out"
     log "$name: FAILED rc=$rc (stderr tail): $(tail -c 300 "${out%.json}.err")"
   fi
   rm -f "$out.tmp"
-  git add "$out" "${out%.json}.err" "$LOG" 2>/dev/null
+  git add "$out" "${out%.json}.err" "${out%.json}.partial" "$LOG" 2>/dev/null
   git commit -q -m "backlog: $name artifact" 2>/dev/null || true
 }
 
@@ -167,6 +171,8 @@ for s in $STEPS; do
                       --floor result/control/floor_cma3b.json ;;
     compact579)   run_step compact579 5400 result/merge/compact579.json \
                     python bench/compact_check.py 5 7 9 ;;
+    compact9)     run_step compact9 5400 result/merge/compact9.json \
+                    python bench/compact_check.py 9 ;;
     shardvmem)    run_step shardvmem 4800 result/merge/shard_vmem9.json \
                     python bench/spatial_shard_vmem.py --grid 9 \
                       --shards 4 8 --grad ;;
