@@ -180,6 +180,22 @@ for s in $STEPS; do
                     python bench/ablate_kernel.py --grid 9 --reps 6 --fwd_only ;;
     ablate9g)     run_step ablate9g 9000 result/merge/ablate9g.json \
                     python bench/ablate_kernel.py --grid 9 --reps 6 ;;
+    ft1_s*)       seed=${s#ft1_s}  # item 2: iterated gradient fine-tune
+                  # of the p1 CMA floor (hard-eval line search, monotone)
+                  run_step "$s" 3600 "result/control/$s.json" \
+                    python bench/finetune_hard.py --problem 1 \
+                      --floor result/control/floor_cma1b.json \
+                      --ft_seed "$seed" ;;
+    ft3_s*)       seed=${s#ft3_s}
+                  run_step "$s" 3600 "result/control/$s.json" \
+                    python bench/finetune_hard.py --problem 3 \
+                      --floor result/control/floor_cma3b.json \
+                      --ft_seed "$seed" ;;
+    anneal1_s*)   seed=${s#anneal1_s}  # item 8: seeded replicas of the
+                  # cold-anneal p1 stability claim (one seed so far)
+                  run_step "$s" 3600 "result/control/$s.json" \
+                    python tools/anneal_5x5.py 1 --seed "$seed" \
+                      --log_root "result/control/itscp_5x5_anneal_s$seed" ;;
     # ---- end round-5 additions ----
     wide_check)   run_step wide_check 2400 result/wide/wide_check.json \
                     python bench/wide_check.py ;;
