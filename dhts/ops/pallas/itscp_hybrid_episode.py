@@ -562,8 +562,32 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         return (jax.lax.broadcasted_iota(jnp.int32, (Vp, Lp), 0) ==
                 h).astype(jnp.float32)
 
+    def sum0(x, keepdims=True):
+        """Axis-0 sum as a pairwise halving tree of adds.
+
+        Mosaic lowers a many-sublane ``jnp.sum`` reduce pathologically
+        (round-4 lesson: 73-145 us on a [R, k*Lp] compare result, vs
+        ~free for <=8 rows) — the round-5 9x9 census measured the
+        batched route pick ([32, 6*Lp] mul+sum) alone at ~40 us/step.
+        A tree of plain row-block adds runs at normal elementwise cost.
+        EXACTNESS: every caller sums a one-hot-masked product with at
+        most ONE nonzero term per column, so any association order
+        yields the bit-identical result — do NOT use this for real
+        multi-term sums (q_lane etc.), whose fp rounding would change
+        vs the scan env."""
+        while x.shape[0] > 1:
+            n = x.shape[0]
+            h = n // 2
+            y = x[:h] + x[h:2 * h]
+            x = jnp.concatenate([y, x[2 * h:]], axis=0) if n % 2 else y
+        return x if keepdims else x[0]
+
     def pick_v(arr, ohv):
-        """Pick one row per lane from [Vp, Lp] via a [Vp, Lp] one-hot."""
+        """Pick one row per lane from [Vp, Lp] via a [Vp, Lp] one-hot.
+
+        Stays ``jnp.sum``: Vp is small, the whole head-pick family
+        measured ~3 us at 9x9 (ablate9g ``-heads``), and this is a
+        DIFFERENTIABLE pick — not worth touching its vjp structure."""
         return jnp.sum(arr * ohv, axis=0, keepdims=True)
 
     def pick_route(route, ohv):
@@ -574,8 +598,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         """route_rl [R, Lp], j_row [1, Lp] -> entries [1, Lp] (-1 invalid)."""
         ohr = ((jax.lax.broadcasted_iota(jnp.int32, (R, Lp), 0) == j_row) &
                (j_row >= 0) & (j_row < R)).astype(jnp.float32)
-        val = jnp.sum(route_rl.astype(jnp.float32) * ohr, axis=0,
-                      keepdims=True)
+        val = sum0(route_rl.astype(jnp.float32) * ohr)
         ok = (j_row >= 0) & (j_row < R)
         return jnp.where(ok, val.astype(jnp.int32), -1)
 
@@ -869,7 +892,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 okj).astype(jnp.float32)
             route_t = jnp.concatenate(
                 [route_h.astype(jnp.float32)] * (2 + n_extra), axis=1)
-            ent = jnp.sum(route_t * ohr, axis=0, keepdims=True)
+            ent = sum0(route_t * ohr)
             return jnp.where(okj, ent.astype(jnp.int32), -1)
 
         walk0 = (~h_exists, jnp.zeros((1, Lp), jnp.bool_),
@@ -1048,8 +1071,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 ohr = ((jax.lax.broadcasted_iota(
                     jnp.int32, (R, nWc * S_cw), 0) == j_cat) &
                     okj).astype(jnp.float32)
-                entc = jnp.sum(jnp.concatenate([route_cf] * nWc, axis=1) *
-                               ohr, axis=0, keepdims=True)
+                entc = sum0(jnp.concatenate([route_cf] * nWc, axis=1) *
+                            ohr)
                 wl_cc = jnp.where(okj, entc.astype(jnp.int32), -1)
                 rows_w = [cn["is_macro"], count_row, cn["length"]]
                 if lead_latch:

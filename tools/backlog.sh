@@ -115,6 +115,10 @@ for s in $STEPS; do
                     python bench/merge_check.py 9 ;;
     split79)      run_step split79 3600 result/merge/split79.json \
                     python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
+    split79b)     run_step split79b 3600 result/merge/split79b.json \
+                    python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
+    split5b)      run_step split5b 2400 result/merge/split5b.json \
+                    python bench/split_fwd_bwd.py --grids 5 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
     anneal1)      run_step anneal1 3600 result/control/anneal1.json \
