@@ -267,6 +267,12 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # semantics: road/network/road_network.py:429-580).
     compact_walk = (wide_ops and W >= 8 and
                     _os.environ.get("DHTS_COMPACT_WALK", "1") == "1")
+    # Save the replay's differentiable gather VALUES as per-step
+    # residuals (round-5: see ``with_saved``); needs the early-exit wide
+    # banded forward (whose gt/sig3/boundary/Gdf values are the pinned
+    # bit-identical sources) and the unmerged gather layout.
+    save_gathers = (lead_latch and not merge_fwd and
+                    _os.environ.get("DHTS_SAVE_GATHERS", "0") == "1")
     S_cw = _round_up(int(_os.environ.get("DHTS_COMPACT_SLOTS", "128")),
                      _LANE)
 
@@ -532,6 +538,38 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         one-hot. Values are identical to :func:`gather_rows`."""
         return jax.lax.stop_gradient(gather_rows(rows, idx_row, oh))
 
+    def with_saved(f, saved, *args):
+        """Replay-only: return ``saved`` — the forward kernel's
+        bit-identical value of ``f(*args)``, streamed per step as a
+        residual — while wiring the cotangent through f's true vjp.
+
+        The round-5 9x9 census (result/merge/ablate9g.json) attributes
+        ~70 us/step nominal to the replay's differentiable gathers (bgt
+        38.8 + bbnd 16.4 + bconv 15.0 of a 151.5 us fwd+bwd step): under
+        the dots-only checkpoint policy each gather's one-hot is built
+        TWICE per backward step (replay forward + transpose rebuild) and
+        its forward dot re-runs although the forward kernel already
+        computed the identical value. This skips the replay-forward
+        build+dot entirely; the transpose pass (``g_bwd`` below) runs
+        f's vjp once, which rebuilds the one-hot there and sinks the
+        cotangent into the same dot transpose as before — gradient
+        bit-identical by construction."""
+        @jax.custom_vjp
+        def g(saved, *args):
+            return saved
+
+        def g_fwd(saved, *args):
+            return saved, args
+
+        def g_bwd(res, cot):
+            # f's forward value is discarded — XLA DCEs the dot and keeps
+            # only the one-hot build the transpose needs
+            _, vjp = jax.vjp(f, *res)
+            return (jnp.zeros_like(cot),) + tuple(vjp(cot))
+
+        g.defvjp(g_fwd, g_bwd)
+        return g(saved, *args)
+
     def blk_tree(x, op, w):
         """Pairwise reduction over the ``w`` lane-blocks of a fresh
         [N, w*Lp] row stack -> [N, Lp], in ceil(log2 w) wide ops instead
@@ -612,7 +650,7 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     def step(carry, t, action2d, sched_t, mnext_t, mprev_t, rand_t,
              inj_routes, emit_routes, cn, early_exit: bool = False,
              walk_saved=None, walk_saved_f=None, head_saved=None,
-             sig_t=None, conv_saved=None, ids_saved=None):
+             sig_t=None, conv_saved=None, ids_saved=None, gsv_saved=None):
         # Per-vehicle IDM parameters are NOT carried: every vehicle in the
         # ITSCP scene is created with the same ``dflt`` values (injection
         # and emission both use default_micro_vehicle semantics,
@@ -1203,7 +1241,23 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             zb = jnp.zeros((1, Lp))
             boundary_out = (zb, zb, zb + 1.0, zb)
         if boundary_out is None:  # replay / early-exit / rig paths
-            boundary_out = boundary_rows(boundary_gather())
+            if gsv_saved is not None:
+                # replay with saved gather values: the [6, 3Lp] boundary
+                # gather result was streamed by the forward — skip the
+                # build+dot here; the transpose still sinks cotangents
+                # into the same gather vjp (``with_saved``)
+                bnd_lhs = jnp.concatenate(
+                    [cn["is_macro"], r_last, u_last, r_first, u_first,
+                     sig], axis=0)
+                # index rows ride the explicit args (int inputs, float0
+                # cotangents): a custom_vjp bwd may not close over
+                # tracers from the surrounding trace
+                gbw_f = with_saved(
+                    lambda lhs, a, b, c: gather_multi(lhs, [a, b, c]),
+                    gsv_saved[0], bnd_lhs, adjp, adjn, mprev_t)
+            else:
+                gbw_f = boundary_gather()
+            boundary_out = boundary_rows(gbw_f)
         bl_r, bl_u, br_r, br_u = boundary_out
         if banded:
             # leader tail fields at wstar (a walk result — unbounded):
@@ -1214,6 +1268,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 # census stub (replay only): the differentiable leader
                 # gather removed — attributes its recompute + transpose
                 gt = jnp.zeros((2, Lp))
+            elif walk_saved is not None and gsv_saved is not None:
+                # replay with saved gather values: the forward latched
+                # gt during the walk and streamed it; only the vjp's
+                # transpose dot survives here
+                geom_w = _mk_windows(W)
+
+                def f_gt(pv, wv):
+                    return (gather_multi(pv, [wv], window_geom=geom_w)
+                            if geom_w is not None
+                            else gather_rows([pv], wv))
+                gt = with_saved(f_gt, gsv_saved[1], jnp.concatenate(
+                    [pos[:1], vel[:1]], axis=0),
+                    jnp.where(found, wstar, -1))
             elif lead_latch and walk_saved is None and early_exit:
                 # only the early-exit walk latches the leader fields; the
                 # batched-walk wide path (step_hlo / step_cost tracing)
@@ -1236,6 +1303,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             if walk_saved is not None and "bgt" in _ablate:
                 # census stub (replay only): the 3 sig gathers removed
                 sig_c = sig_p = sig_n = jnp.zeros((1, Lp))
+            elif walk_saved is not None and gsv_saved is not None:
+                # replay with saved gather values: three separate
+                # with_saved calls (not one sliced wide row) so each
+                # cotangent sinks into its own dot transpose — the
+                # sliced-wide form transposes to mixed-offset lane pads
+                # Mosaic rejects (Pallas lessons)
+                f_s1 = lambda s, ix: gather_multi(s, [ix])  # noqa: E731
+                sig_c = with_saved(f_s1, gsv_saved[2][:, :Lp], sig,
+                                   curr_l)
+                sig_p = with_saved(f_s1, gsv_saved[2][:, Lp:2 * Lp], sig,
+                                   prev_l)
+                sig_n = with_saved(f_s1, gsv_saved[2][:, 2 * Lp:], sig,
+                                   next_l)
             elif walk_saved is not None and wide_ops:
                 # replay (in-kernel vjp): lane-slicing a DIFFERENTIABLE
                 # [1, 3Lp] gather transposes to a lane pad, and the wide
@@ -1610,6 +1690,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 Gsg = jnp.zeros((2, 2 * Lp))
                 Gdf_dep = jnp.zeros((5, Lp))
                 Gdf_src = jnp.zeros((5, Lp))
+            elif banded and gsv_saved is not None:
+                # replay with saved gather values: the sg rows stay a
+                # live gather (stop-grad — no transpose anyway), the
+                # differentiable [5, Lp] blocks come from the stream
+                Gsg = gather_multi(gsg_rows, [sdep, src], sg=True)
+                f_g1 = lambda g, ix: gather_multi(g, [ix])  # noqa: E731
+                Gdf_dep = with_saved(f_g1, gsv_saved[3][:, :Lp],
+                                     gdf_rows, sdep)
+                Gdf_src = with_saved(f_g1, gsv_saved[3][:, Lp:],
+                                     gdf_rows, src)
             elif banded:
                 Gsg = gather_multi(gsg_rows, [sdep, src], sg=True)
                 Gdf_dep = gather_multi(gdf_rows, [sdep])
@@ -1829,6 +1919,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                  dep_win.astype(jnp.int32), exit_none.astype(jnp.int32),
                  im.astype(jnp.int32)], axis=0)
             extra = (walk_i, cdel_st, ids_w, conv_i)
+            if save_gathers:
+                # the replay's differentiable gather values, streamed for
+                # ``with_saved`` (each bit-identical to the replay's own
+                # recompute — the already-pinned invariant)
+                extra += (gbw_f, gt, sig3, Gdf[:, 2 * Lp:])
         else:
             walk_i = jnp.concatenate([found.astype(jnp.int32), wstar],
                                      axis=0)
@@ -1881,6 +1976,17 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                  ("walk_f", (1, Lp), jnp.float32),
                  ("ids_w", (1, 5 * Lp), jnp.int32),
                  ("conv_i", (6, Lp), jnp.int32))
+        if save_gathers:
+            # the replay's differentiable gather VALUES (see
+            # ``with_saved``): boundary gather [6 rows x 3 idx blocks],
+            # leader tail pos/vel at wstar, the 3 sig lookups
+            # [curr|prev|next], and the post-arbitration float rows at
+            # [sdep|src] — ~210 KB/step at 9x9, bought back as the
+            # replay skipping every gather build+dot on its forward pass
+            EXTRA += (("gbw_s", (6, 3 * Lp), jnp.float32),
+                      ("gt_s", (2, Lp), jnp.float32),
+                      ("sig3_s", (1, 3 * Lp), jnp.float32),
+                      ("gdf_s", (5, 2 * Lp), jnp.float32))
     else:
         EXTRA = (("walk_i", (2, Lp), jnp.int32),
                  ("walk_f", (1, Lp), jnp.float32),
@@ -2038,13 +2144,19 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
         t = T - 1 - i
         rand_row = rand_ref[0]
         if wide_ops:
-            walk_i_ref, walk_f_ref, ids_ref, conv_ref = extra_refs
+            gsv = None
+            if save_gathers:
+                (walk_i_ref, walk_f_ref, ids_ref, conv_ref,
+                 gbw_ref, gt_ref, sig3_ref, gdf_ref) = extra_refs
+                gsv = (gbw_ref[0], gt_ref[0], sig3_ref[0], gdf_ref[0])
+            else:
+                walk_i_ref, walk_f_ref, ids_ref, conv_ref = extra_refs
             route_h_s = ridx_h_s = None
             conv_s, ids_s = conv_ref[0], ids_ref[0]
         else:
             walk_i_ref, walk_f_ref, rh_ref, rx_ref = extra_refs
             route_h_s, ridx_h_s = rh_ref[0], rx_ref[0]
-            conv_s = ids_s = None
+            conv_s = ids_s = gsv = None
         walk_i, walk_f = walk_i_ref[0], walk_f_ref[0]
 
         @pl.when(i == 0)
@@ -2080,7 +2192,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                                           sig_t=(sig_ref[0] if wide_ops
                                                  else None),
                                           conv_saved=conv_s,
-                                          ids_saved=ids_s)
+                                          ids_saved=ids_s,
+                                          gsv_saved=gsv)
             out = pack(new_carry)
             return tuple(out[j] for j in FDIFF), queue
 
@@ -2367,5 +2480,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                        lead_latch=lead_latch, hop1_banded=hop1_banded,
                        n_hop_peel=len(peel_geoms),
                        compact_walk=compact_walk,
+                       save_gathers=save_gathers,
                        compact_slots=S_cw if compact_walk else 0)
     return fn

@@ -697,3 +697,59 @@ def test_compact_walk_bit_identical(grid, monkeypatch):
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q0))
     np.testing.assert_array_equal(np.asarray(ev1), np.asarray(ev0))
     np.testing.assert_array_equal(grads[True], grads[False])
+
+
+def test_save_gathers_bit_identical(monkeypatch):
+    """Saved replay-gather values (round 5, ``with_saved``): the forward
+    streams the boundary/leader/sig/post-arb gather RESULTS per step and
+    the backward replay returns them via a custom_vjp whose transpose
+    still runs the true gather vjp — so values AND gradients must be
+    exactly equal to the live-recompute replay. 5x5 is the smallest
+    banded + lead_latch scene (the only path save_gathers rides)."""
+    cfg = dict(num_intersection=5, num_lane=1, lane_length=5.0,
+               speed_limit=20.0, cell_length=5.0, policy_length=18,
+               signal_length=2, simulation_frequency=10, random_seed=3,
+               max_num_micro_vehicle_per_lane=4, mode="hybrid")
+    env = ItscpEnv(config=cfg, schedule_fn=problem_1)
+    env.reset()
+    V = env.base_state.micro.position.shape[1]
+    R = env.base_state.micro.route.shape[2]
+    P = env.data.inj_routes.shape[1]
+    P2 = env.base_state.route_pool.shape[1]
+    key = jax.random.PRNGKey(0)
+    T, L = env.num_timestep, env.spec.num_lanes
+    rand = jax.random.uniform(key, (T, L))
+    action = jnp.full(env.action_size(), 0.55)
+
+    outs, grads = {}, {}
+    for sg in (False, True):
+        monkeypatch.setenv("DHTS_SAVE_GATHERS", "1" if sg else "0")
+        fused = make_fused_itscp_episode(
+            env.spec, env.meta, env.config, V, R, P, P2,
+            differentiable=True, window=max(8, env._fused_win_needed),
+            interpret=True, wide_ops=True)
+        assert fused.geometry["save_gathers"] == sg
+        n_phases = fused.geometry["n_phases"]
+
+        def frun(a, fused=fused, n_phases=n_phases):
+            return fused(a.reshape(n_phases, -1), env.data.schedule,
+                         env.data.mroute_next, env.data.mroute_prev, rand,
+                         env.data.inj_routes, env.base_state.route_pool,
+                         with_events=True)
+
+        outs[sg] = frun(action)
+        grads[sg] = np.asarray(jax.grad(lambda a: frun(a)[0])(action))
+    r0, q0, ev0 = outs[False]
+    r1, q1, ev1 = outs[True]
+    assert int(np.asarray(ev0)[:, 1].sum()) >= 1, \
+        "scene has no live emissions: gather coverage is vacuous"
+    assert float(r1) == float(r0)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q0))
+    np.testing.assert_array_equal(np.asarray(ev1), np.asarray(ev0))
+    # forward values are bit-identical (asserted above); gradients agree
+    # to reassociation noise only — with_saved restructures WHERE each
+    # gather's cotangent is computed, so the accumulation ORDER into
+    # shared rows (sig, pos) legitimately differs (observed max diff
+    # 5e-20 absolute on ~1e-17 denormal leak-through components)
+    np.testing.assert_allclose(grads[True], grads[False],
+                               rtol=1e-5, atol=1e-12)
