@@ -119,6 +119,11 @@ for s in $STEPS; do
                     python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
     split5b)      run_step split5b 2400 result/merge/split5b.json \
                     python bench/split_fwd_bwd.py --grids 5 --wide 1 ;;
+    sg_check)     run_step sg_check 5400 result/merge/sg_check.json \
+                    python bench/sg_check.py 5 9 ;;
+    split79sg)    run_step split79sg 3600 result/merge/split79sg.json \
+                    env DHTS_SAVE_GATHERS=1 \
+                    python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
     anneal1)      run_step anneal1 3600 result/control/anneal1.json \
