@@ -124,6 +124,9 @@ for s in $STEPS; do
     split79sg)    run_step split79sg 3600 result/merge/split79sg.json \
                     env DHTS_SAVE_GATHERS=1 \
                     python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
+    split9sgp0)   run_step split9sgp0 2400 result/merge/split9sgp0.json \
+                    env DHTS_SAVE_GATHERS=1 DHTS_PEEL_CAP=0 \
+                    python bench/split_fwd_bwd.py --grids 9 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
     anneal1)      run_step anneal1 3600 result/control/anneal1.json \
