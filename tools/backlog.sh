@@ -24,7 +24,18 @@ WAIT_TUNNEL_S=${WAIT_TUNNEL_S:-7200}
 
 log() { echo "$(date -u +%FT%TZ) $*" | tee -a "$LOG"; }
 
-tunnel_up() { timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8083' 2>/dev/null; }
+tunnel_up() {
+  # port check first (cheap), then a REAL device round-trip: the wedge
+  # observed 2026-08-21 ~02:00 keeps both relay ports listening while
+  # every compile hangs forever — a port probe alone waves steps into
+  # 1h timeouts
+  timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8083' 2>/dev/null || return 1
+  timeout 120 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+f = jax.jit(lambda a: (a @ a).sum())
+float(f(jnp.ones((128, 128))))
+EOF
+}
 
 wait_tunnel() {
   local waited=0
