@@ -73,9 +73,17 @@ def main():
                         return sum(jnp.sum(o) for o in outs
                                    if jnp.issubdtype(o.dtype,
                                                      jnp.floating))
-                    jax.jit(jax.grad(scal, argnums=(0,))).lower(
-                        *exd).compile()
-                    entry["grad_compile"] = "ok"
+                    # grad only w.r.t. the float inputs — some kernels
+                    # lead with int32 operands (route ids, counts)
+                    fl = tuple(i for i, x in enumerate(ex)
+                               if np.issubdtype(np.asarray(x).dtype,
+                                                np.floating))
+                    if fl:
+                        jax.jit(jax.grad(scal, argnums=fl)).lower(
+                            *exd).compile()
+                        entry["grad_compile"] = "ok"
+                    else:
+                        entry["grad_compile"] = "no float inputs"
                 rec["kernels"][name] = entry
             except Exception as e:  # noqa: BLE001
                 rec["kernels"][name] = {

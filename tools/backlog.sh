@@ -214,6 +214,10 @@ for s in $STEPS; do
                     python bench/finetune_hard.py --problem 3 \
                       --floor result/control/floor_cma3b.json \
                       --ft_seed "$seed" ;;
+    ft3x)         run_step ft3x 5400 result/control/ft3x.json \
+                    python bench/finetune_hard.py --problem 3 \
+                      --floor result/control/floor_cma3b.json \
+                      --ft_seed 21 --iters 150 --max_stuck 15 ;;
     anneal1_s*)   seed=${s#anneal1_s}  # item 8: seeded replicas of the
                   # cold-anneal p1 stability claim (one seed so far)
                   run_step "$s" 3600 "result/control/$s.json" \
