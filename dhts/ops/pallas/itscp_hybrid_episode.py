@@ -271,8 +271,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # residuals (round-5: see ``with_saved``); needs the early-exit wide
     # banded forward (whose gt/sig3/boundary/Gdf values are the pinned
     # bit-identical sources) and the unmerged gather layout.
+    # default ON since round 5: device-verified bit-identical at 5x5 and
+    # 9x9 (grad diff exactly 0.0) with 1.12x / 1.17x whole-step wins
+    # (result/merge/sg_check.json)
     save_gathers = (lead_latch and not merge_fwd and
-                    _os.environ.get("DHTS_SAVE_GATHERS", "0") == "1")
+                    _os.environ.get("DHTS_SAVE_GATHERS", "1") == "1")
     S_cw = _round_up(int(_os.environ.get("DHTS_COMPACT_SLOTS", "128")),
                      _LANE)
 
