@@ -136,7 +136,10 @@ for s in $STEPS; do
                     env DHTS_SAVE_GATHERS=1 \
                     python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
     split9sgp0)   run_step split9sgp0 2400 result/merge/split9sgp0.json \
-                    env DHTS_SAVE_GATHERS=1 DHTS_PEEL_CAP=0 \
+                    env DHTS_PEEL_CAP=0 \
+                    python bench/split_fwd_bwd.py --grids 9 --wide 1 ;;
+    split9align)  run_step split9align 2400 result/merge/split9align.json \
+                    env DHTS_LP_ALIGN=512 \
                     python bench/split_fwd_bwd.py --grids 9 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
