@@ -30,10 +30,10 @@ tunnel_up() {
   # every compile hangs forever — a port probe alone waves steps into
   # 1h timeouts
   timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8083' 2>/dev/null || return 1
-  # 240s: process start + backend init + the tiny compile take ~60-90s
-  # alone when the 1-core host is contended (a 120s probe false-negatived
-  # for 15 min against a background pytest run)
-  timeout 240 python - <<'EOF' >/dev/null 2>&1
+  # 360s: a fresh-process probe measured 3m06s END-TO-END on an idle
+  # tunnel (remote compile of even a tiny program is minutes when the
+  # helper's cache is cold) — a 120s/240s gate false-negatives forever
+  timeout 360 python - <<'EOF' >/dev/null 2>&1
 import jax, jax.numpy as jnp
 f = jax.jit(lambda a: (a @ a).sum())
 float(f(jnp.ones((128, 128))))
