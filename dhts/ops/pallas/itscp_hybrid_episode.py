@@ -242,7 +242,16 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # A/Bs. (result/merge/probe_banded.json's apparent superlinear
     # window cost was a measurement artifact: insufficient tunnel-RTT
     # amortization — trust only slope-method probes.)
-    peel_cap = int(_os.environ.get("DHTS_PEEL_CAP", "3"))
+    # (defined before the peel block: the peel default depends on it)
+    compact_walk = (wide_ops and W >= 8 and
+                    _os.environ.get("DHTS_COMPACT_WALK", "1") == "1")
+    # Under the compact walk the peeled hops are REDUNDANT work — the
+    # compact phase folds every remaining hop in one wide gather anyway,
+    # so each peeled window gather is a pure extra cost: 9x9 A/B
+    # measured peel 0 at 130.6 vs 135.9 us/step (-3.9%,
+    # result/merge/split9sgp0.json) — hence default 0 when compact.
+    peel_cap = int(_os.environ.get("DHTS_PEEL_CAP",
+                                   "0" if compact_walk else "3"))
     peel_geoms = []
     if lead_latch:
         for _o in range(1, min(W, 1 + peel_cap)):
@@ -265,8 +274,6 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # common case. Values are bit-identical: same one-hot columns, same
     # HIGHEST contractions, same latch fold order per lane (reference
     # semantics: road/network/road_network.py:429-580).
-    compact_walk = (wide_ops and W >= 8 and
-                    _os.environ.get("DHTS_COMPACT_WALK", "1") == "1")
     # Save the replay's differentiable gather VALUES as per-step
     # residuals (round-5: see ``with_saved``); needs the early-exit wide
     # banded forward (whose gt/sig3/boundary/Gdf values are the pinned

@@ -144,6 +144,8 @@ for s in $STEPS; do
     split9align)  run_step split9align 2400 result/merge/split9align.json \
                     env DHTS_LP_ALIGN=512 \
                     python bench/split_fwd_bwd.py --grids 9 --wide 1 ;;
+    split79c)     run_step split79c 3600 result/merge/split79c.json \
+                    python bench/split_fwd_bwd.py --grids 7 9 --wide 1 ;;
     probe_banded) run_step probe_banded 2400 result/merge/probe_banded.json \
                     python bench/probe_banded.py ;;
     anneal1)      run_step anneal1 3600 result/control/anneal1.json \
