@@ -74,16 +74,21 @@ def main():
                                    if jnp.issubdtype(o.dtype,
                                                      jnp.floating))
                     # grad only w.r.t. the float inputs — some kernels
-                    # lead with int32 operands (route ids, counts)
+                    # lead with int32 operands (route ids, counts) —
+                    # and only when there IS a float output (the
+                    # discrete-arbitration kernel is int->int)
                     fl = tuple(i for i, x in enumerate(ex)
                                if np.issubdtype(np.asarray(x).dtype,
                                                 np.floating))
-                    if fl:
+                    outs_sh = jax.eval_shape(kern, *ex)
+                    any_f = any(np.issubdtype(o.dtype, np.floating)
+                                for o in jax.tree_util.tree_leaves(outs_sh))
+                    if fl and any_f:
                         jax.jit(jax.grad(scal, argnums=fl)).lower(
                             *exd).compile()
                         entry["grad_compile"] = "ok"
                     else:
-                        entry["grad_compile"] = "no float inputs"
+                        entry["grad_compile"] = "no float inputs/outputs"
                 rec["kernels"][name] = entry
             except Exception as e:  # noqa: BLE001
                 rec["kernels"][name] = {
