@@ -513,13 +513,16 @@ def test_wide_ops_7x7_hop1_banded_bit_identical():
 
 
 @pytest.mark.slow
-def test_wide_ops_9x9_hop_peel_bit_identical():
+def test_wide_ops_9x9_hop_peel_bit_identical(monkeypatch):
     """At 9x9 three peel tiers fit (n_hop_peel=2: hops 1-2 peel through
     the 2- and 3-step banded windows on top of hop 0), so the early-exit
     walk loop only runs for walks needing hop 3+. Wide vs narrow kernels
     must stay exactly equal on the forward (rewards, queues, events;
     gradients to fusion-rounding tolerance) with live emissions so walks
-    actually run hops."""
+    actually run hops. The peel cap is pinned explicitly: since round 5
+    it DEFAULTS to 0 under the compact walk (the peeled gathers are
+    redundant there) and this test exercises the peel path itself."""
+    monkeypatch.setenv("DHTS_PEEL_CAP", "3")
     cfg = dict(num_intersection=9, num_lane=1, lane_length=5.0,
                speed_limit=20.0, cell_length=5.0, policy_length=16,
                signal_length=2, simulation_frequency=10, random_seed=3,
