@@ -226,6 +226,11 @@ for s in $STEPS; do
                     python bench/finetune_hard.py --problem 3 \
                       --floor result/control/floor_cma3b.json \
                       --ft_seed 21 --iters 150 --max_stuck 15 ;;
+    ft1x)         run_step ft1x 5400 result/control/ft1x.json \
+                    python bench/finetune_hard.py --problem 1 \
+                      --floor result/control/floor_cma1b.json \
+                      --ft_seed 21 --iters 150 --max_stuck 15 \
+                      --kick_cells 0.75 ;;
     anneal1_s*)   seed=${s#anneal1_s}  # item 8: seeded replicas of the
                   # cold-anneal p1 stability claim (one seed so far)
                   run_step "$s" 3600 "result/control/$s.json" \
