@@ -233,7 +233,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
     # stays in the dense loop. Capped at 3 peeled hops: deeper hops are
     # rare, and a peeled hop's gather runs every step even when all
     # walks have terminated.
-    # DHTS_PEEL_CAP: max hops peeled past hop 0 (default 3). Device A/B
+    # DHTS_PEEL_CAP: max hops peeled past hop 0 (default 3 on the
+    # non-compact path, 0 under the compact walk — see below). Device A/B
     # at 7x7/9x9 (result/merge/peel{7,9}.json) measured caps 0-3 within
     # +-0.5% — the RTT-cancelling slope probe (bench/probe_split.py)
     # puts a win=640 banded gather at ~0.2 us, so neither the peeled
@@ -1701,10 +1702,11 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 Gdf_dep = jnp.zeros((5, Lp))
                 Gdf_src = jnp.zeros((5, Lp))
             elif banded and gsv_saved is not None:
-                # replay with saved gather values: the sg rows stay a
-                # live gather (stop-grad — no transpose anyway), the
-                # differentiable [5, Lp] blocks come from the stream
-                Gsg = gather_multi(gsg_rows, [sdep, src], sg=True)
+                # replay with saved gather values: the sg rows come from
+                # the stream too (forward Gall rows [is_macro, length]
+                # at blocks [sdep | src] — same one-hot columns), the
+                # differentiable [5, Lp] blocks ride with_saved
+                Gsg = gsv_saved[4]
                 f_g1 = lambda g, ix: gather_multi(g, [ix])  # noqa: E731
                 Gdf_dep = with_saved(f_g1, gsv_saved[3][:, :Lp],
                                      gdf_rows, sdep)
@@ -1933,7 +1935,13 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
                 # the replay's differentiable gather values, streamed for
                 # ``with_saved`` (each bit-identical to the replay's own
                 # recompute — the already-pinned invariant)
-                extra += (gbw_f, gt, sig3, Gdf[:, 2 * Lp:])
+                # Gsg rows [is_macro, length] at blocks [sdep | src]
+                # (the census "conv" stub leaves a [2, 2Lp] Gsg with no
+                # sdep/src blocks — pack zeros there, values moot)
+                extra += (gbw_f, gt, sig3, Gdf[:, 2 * Lp:],
+                          (Gsg[i_mac:i_len + 1, 2 * Lp:]
+                           if Gsg.shape[1] >= 4 * Lp
+                           else jnp.zeros((2, 2 * Lp))))
         else:
             walk_i = jnp.concatenate([found.astype(jnp.int32), wstar],
                                      axis=0)
@@ -1996,7 +2004,8 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             EXTRA += (("gbw_s", (6, 3 * Lp), jnp.float32),
                       ("gt_s", (2, Lp), jnp.float32),
                       ("sig3_s", (1, 3 * Lp), jnp.float32),
-                      ("gdf_s", (5, 2 * Lp), jnp.float32))
+                      ("gdf_s", (5, 2 * Lp), jnp.float32),
+                      ("gsg_s", (2, 2 * Lp), jnp.float32))
     else:
         EXTRA = (("walk_i", (2, Lp), jnp.int32),
                  ("walk_f", (1, Lp), jnp.float32),
@@ -2157,8 +2166,10 @@ def make_fused_itscp_episode(spec, meta, config, V: int, R: int, P: int,
             gsv = None
             if save_gathers:
                 (walk_i_ref, walk_f_ref, ids_ref, conv_ref,
-                 gbw_ref, gt_ref, sig3_ref, gdf_ref) = extra_refs
-                gsv = (gbw_ref[0], gt_ref[0], sig3_ref[0], gdf_ref[0])
+                 gbw_ref, gt_ref, sig3_ref, gdf_ref,
+                 gsg_ref) = extra_refs
+                gsv = (gbw_ref[0], gt_ref[0], sig3_ref[0], gdf_ref[0],
+                       gsg_ref[0])
             else:
                 walk_i_ref, walk_f_ref, ids_ref, conv_ref = extra_refs
             route_h_s = ridx_h_s = None
